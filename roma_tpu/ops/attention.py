@@ -1,0 +1,49 @@
+"""Scaled-dot-product attention for the ViT paths.
+
+Replaces the reference's torch SDPA / xformers memory_efficient_attention
+(romatch/models/transformer/layers/attention.py:50-96). Plain einsum
+attention with an optional query-block scan that bounds the logits transient
+(the XLA analogue of memory-efficient attention) — at RoMa's sequence lengths
+(~1.6k-3.8k tokens) full flash kernels are unnecessary, but the B*H*N^2
+logits at batch 16 are worth chunking.
+
+Softmax runs in float32; matmuls use the inputs' dtype on the MXU with f32
+accumulation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_chunk: int | None = 512,
+) -> jnp.ndarray:
+    """q, k, v: (B, H, N, D) -> (B, H, N, D). No masking (none needed here)."""
+    b, h, n, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+
+    def attend(qb):
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", qb, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    if q_chunk is None or n <= q_chunk:
+        return attend(q)
+
+    pad = (-n) % q_chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    # scan over query blocks: (nblocks, B, H, q_chunk, D)
+    blocks = qp.reshape(b, h, -1, q_chunk, d).transpose(2, 0, 1, 3, 4)
+    out = jax.lax.map(attend, blocks)  # (nblocks, B, H, q_chunk, D)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, -1, d)
+    return out[:, :, :n]

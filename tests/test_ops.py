@@ -1,0 +1,236 @@
+"""Op-level parity tests against torch (CPU) golden behavior.
+
+The reference model's fidelity hinges on exact F.grid_sample / F.interpolate
+semantics (SURVEY.md §7 'hard parts'); these tests pin them bit-close.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from roma_tpu.ops import (
+    cls_to_flow_refine,
+    corr_volume,
+    grid_sample,
+    interpolate,
+    kde,
+    local_correlation,
+    multinomial_no_replacement,
+    normalized_grid,
+    sdpa,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _rand(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------- grid_sample
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_grid_sample_matches_torch(mode, padding):
+    b, h, w, c = 2, 13, 17, 5
+    x = _rand(b, h, w, c)
+    # grid includes in-bounds, out-of-bounds and exactly-on-edge points
+    grid = (RNG.uniform(-1.4, 1.4, (b, 7, 9, 2))).astype(np.float32)
+    grid[0, 0, 0] = [-1.0, -1.0]
+    grid[0, 0, 1] = [1.0, 1.0]
+    grid[0, 0, 2] = [0.0, 0.0]
+
+    ours = grid_sample(
+        jnp.asarray(x), jnp.asarray(grid), mode=mode, padding_mode=padding
+    )
+    theirs = tF.grid_sample(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode=mode,
+        padding_mode=padding,
+        align_corners=False,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+
+
+def test_grid_sample_point_shape():
+    # (B, N, 1, 2) style grids used by warp_kpts depth sampling
+    x = _rand(2, 8, 8, 1)
+    grid = RNG.uniform(-1, 1, (2, 11, 1, 2)).astype(np.float32)
+    out = grid_sample(jnp.asarray(x), jnp.asarray(grid))
+    assert out.shape == (2, 11, 1, 1)
+
+
+# ---------------------------------------------------------------- interpolate
+@pytest.mark.parametrize(
+    "mode,in_hw,out_hw",
+    [
+        ("bilinear", (35, 35), (70, 70)),
+        ("bilinear", (70, 70), (35, 35)),
+        ("bilinear", (40, 40), (70, 70)),  # non-integer scale (16->8 pyramid)
+        ("bicubic", (16, 16), (37, 29)),
+        ("nearest", (20, 30), (11, 17)),
+        ("nearest-exact", (20, 30), (11, 17)),
+    ],
+)
+def test_interpolate_matches_torch(mode, in_hw, out_hw):
+    b, c = 2, 3
+    x = _rand(b, *in_hw, c)
+    ours = interpolate(jnp.asarray(x), out_hw, mode=mode)
+    theirs = tF.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        size=out_hw,
+        mode=mode,
+        **({"align_corners": False} if mode in ("bilinear", "bicubic") else {}),
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
+
+
+def test_interpolate_scale_factor_semantics():
+    # DINOv2 pos-embed path: bicubic with explicit scale_factor (dinov2.py:166-190)
+    x = _rand(1, 37, 37, 8)
+    sf = (40.1 / 37.0, 40.1 / 37.0)
+    ours = interpolate(jnp.asarray(x), (40, 40), mode="bicubic", scale_factor=sf)
+    theirs = tF.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        scale_factor=sf,
+        mode="bicubic",
+    ).permute(0, 2, 3, 1)
+    assert theirs.shape[1:3] == (40, 40)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------- local corr
+def _torch_local_corr(f0, f1, radius, warp):
+    """Direct port of the reference torch fallback semantics for testing only."""
+    B, c, h, w = f0.shape
+    r = radius
+    K = (2 * r + 1) ** 2
+    ys = torch.linspace(-2 * r / h, 2 * r / h, 2 * r + 1)
+    xs = torch.linspace(-2 * r / w, 2 * r / w, 2 * r + 1)
+    wy, wx = torch.meshgrid(ys, xs, indexing="ij")
+    local_window = torch.stack((wx, wy), dim=-1).reshape(1, K, 2)
+    warp_hw = warp.permute(0, 2, 3, 1)
+    corr = torch.empty(B, K, h, w)
+    for i in range(B):
+        coords = (warp_hw[i, :, :, None] + local_window[:, None, None]).reshape(
+            1, h, w * K, 2
+        )
+        feat = tF.grid_sample(
+            f1[i : i + 1], coords, padding_mode="zeros", align_corners=False
+        ).reshape(c, h, w, K)
+        corr[i] = (f0[i, ..., None] / (c**0.5) * feat).sum(dim=0).permute(2, 0, 1)
+    return corr
+
+
+@pytest.mark.parametrize("method", ["corrvol", "patch"])
+def test_local_correlation_matches_reference_semantics(method):
+    b, h, w, c = 2, 12, 14, 16
+    radius = 2
+    f0 = _rand(b, h, w, c)
+    f1 = _rand(b, h, w, c)
+    # warp: mostly valid coords with some pointing off-image
+    warp = RNG.uniform(-1.2, 1.2, (b, h, w, 2)).astype(np.float32)
+
+    ours = local_correlation(
+        jnp.asarray(f0), jnp.asarray(f1), radius, jnp.asarray(warp), method=method
+    )
+    theirs = _torch_local_corr(
+        torch.from_numpy(f0).permute(0, 3, 1, 2),
+        torch.from_numpy(f1).permute(0, 3, 1, 2),
+        radius,
+        torch.from_numpy(warp).permute(0, 3, 1, 2),
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
+
+
+def test_corr_volume_matches_reference():
+    b, c, h, w = 2, 8, 6, 5
+    f0 = _rand(b, h, w, c)
+    f1 = _rand(b, h, w, c)
+    ours = corr_volume(jnp.asarray(f0), jnp.asarray(f1))
+    theirs = torch.einsum(
+        "bci,bcj->bji",
+        torch.from_numpy(f0).permute(0, 3, 1, 2).reshape(b, c, h * w),
+        torch.from_numpy(f1).permute(0, 3, 1, 2).reshape(b, c, h * w),
+    ).reshape(b, h, w, h, w) / (c**0.5)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------- cls_to_flow
+def test_cls_to_flow_refine_matches_torch():
+    b, h, w, res = 2, 5, 6, 8
+    c = res * res
+    logits = _rand(b, h, w, c) * 3
+
+    ours = cls_to_flow_refine(jnp.asarray(logits))
+
+    t = torch.from_numpy(logits).permute(0, 3, 1, 2)
+    G = torch.meshgrid(
+        *[torch.linspace(-1 + 1 / res, 1 - 1 / res, steps=res) for _ in range(2)],
+        indexing="ij",
+    )
+    G = torch.stack([G[1], G[0]], dim=-1).reshape(c, 2)
+    probs = t.softmax(dim=1)
+    mode = probs.max(dim=1).indices
+    index = torch.stack(
+        (mode - 1, mode, mode + 1, mode - res, mode + res), dim=1
+    ).clamp(0, c - 1).long()
+    neighbours = torch.gather(probs, dim=1, index=index)[..., None]
+    flow = sum(neighbours[:, i] * G[index[:, i]] for i in range(5))
+    flow = flow / neighbours.sum(dim=1)
+    np.testing.assert_allclose(np.asarray(ours), flow.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------- kde
+def test_kde_matches_dense():
+    x = RNG.uniform(-1, 1, (500, 4)).astype(np.float32)
+    ours = kde(jnp.asarray(x), std=0.1, chunk=128)
+    d2 = ((x[:, None] - x[None]) ** 2).sum(-1)
+    dense = np.exp(-d2 / (2 * 0.1**2)).sum(-1)
+    np.testing.assert_allclose(np.asarray(ours), dense, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------- sampling
+def test_multinomial_no_replacement_respects_zero_weights():
+    w = np.zeros(1000, dtype=np.float32)
+    w[100:200] = 1.0
+    idx = multinomial_no_replacement(jax.random.key(0), jnp.asarray(w), 50)
+    idx = np.asarray(idx)
+    assert len(np.unique(idx)) == 50
+    assert ((idx >= 100) & (idx < 200)).all()
+
+
+def test_multinomial_distribution_bias():
+    # heavier weights should be picked more often
+    w = np.ones(100, dtype=np.float32)
+    w[:10] = 50.0
+    counts = np.zeros(100)
+    for s in range(200):
+        idx = np.asarray(
+            multinomial_no_replacement(jax.random.key(s), jnp.asarray(w), 10)
+        )
+        counts[idx] += 1
+    assert counts[:10].mean() > 5 * counts[10:].mean()
+
+
+# ---------------------------------------------------------------- attention
+def test_sdpa_matches_torch():
+    b, h, n, d = 2, 4, 100, 16
+    q, k, v = _rand(b, h, n, d), _rand(b, h, n, d), _rand(b, h, n, d)
+    ours = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), q_chunk=32)
+    theirs = tF.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+    )
+    # sdpa intentionally runs its matmuls at default (bf16-ish) MXU precision —
+    # the reference runs this path in fp16 autocast, so tolerance is loose.
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-2)
+
+
+def test_normalized_grid_convention():
+    g = np.asarray(normalized_grid(4, 8))
+    assert g.shape == (4, 8, 2)
+    np.testing.assert_allclose(g[0, 0], [-1 + 1 / 8, -1 + 1 / 4], atol=1e-7)
+    np.testing.assert_allclose(g[-1, -1], [1 - 1 / 8, 1 - 1 / 4], atol=1e-7)
