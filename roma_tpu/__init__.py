@@ -1,0 +1,10 @@
+"""roma_tpu — TPU-native dense feature matching (JAX/XLA/Pallas).
+
+A ground-up rebuild of the capabilities of Parskatt/RoMa (CVPR 2024) designed
+for TPUs: NHWC layouts, static-shape jitted match pipelines, MXU-friendly
+correlation/GP matmuls, Pallas kernels for the windowed local correlation,
+and jax.sharding data parallelism for training and benchmark sweeps.
+"""
+from .models.zoo import tiny_roma_v1_outdoor
+
+__all__ = ["tiny_roma_v1_outdoor"]

@@ -1,0 +1,356 @@
+"""Big RoMa match heads + coarse-to-fine decoder (Flax, NHWC).
+
+TPU-native re-design of reference romatch/models/matcher.py:
+  * ``CosKernel``/``GP`` (matcher.py:182-323): cosine Gram matrices as MXU
+    matmuls in f32, eval-path Cholesky solve (jnp.linalg.cholesky +
+    batched triangular solves) — never the explicit inverse.
+  * ``TransformerDecoder`` (transformer/__init__.py:10-46): 5 pre-norm ViT
+    blocks over cat(gp_posterior, proj_feats) tokens, linear head to
+    64^2 + 1 coarse-match classification channels.
+  * ``ConvRefiner`` (matcher.py:23-179): grid-sample warp of B-features,
+    displacement embedding, Pallas/XLA windowed local correlation
+    (ops.local_corr replaces the fused-local-corr CUDA extension), depthwise
+    5x5 conv blocks, f32 out_conv.
+  * ``Decoder`` (matcher.py:326-527): scale loop 16->1 (or 8->1 for the
+    upsample pass), flow/certainty x2 upsampling with optional detach.
+
+Compute dtype is configurable: the reference's fp16 autocast regions map to
+bf16 on TPU; GP solve and out_conv stay f32 (matcher.py:177, 296).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    cls_to_flow_refine,
+    grid_sample,
+    interpolate,
+    local_correlation,
+    normalized_grid,
+)
+from .blocks import torch_bn, torch_conv
+from .encoders import CNNandDinov2
+from .vit import Block
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# GP coarse-match module
+# ---------------------------------------------------------------------------
+
+
+def cos_kernel(x: jnp.ndarray, y: jnp.ndarray, T: float, eps: float = 1e-6):
+    """K = exp((cos(x, y) - 1)/T); x (B,N,D), y (B,M,D) f32
+    (reference matcher.py:182-200)."""
+    c = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    nx = jnp.linalg.norm(x, axis=-1)
+    ny = jnp.linalg.norm(y, axis=-1)
+    c = c / (nx[..., :, None] * ny[..., None, :] + eps)
+    return jnp.exp((c - 1.0) / T)
+
+
+class GP(nn.Module):
+    """Gaussian-process regression from B-features to B's Fourier positional
+    basis (reference matcher.py:203-323, eval path)."""
+
+    gp_dim: int = 512
+    T: float = 0.2
+    sigma_noise: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """x, y: (B, H, W, C) projected features -> (B, H, W, gp_dim) f32."""
+        b, h1, w1, c = x.shape
+        _, h2, w2, _ = y.shape
+        n, m = h1 * w1, h2 * w2
+
+        coords = normalized_grid(h2, w2)[None]  # (1, h2, w2, 2)
+        pos = torch_conv(self.gp_dim, kernel=1, padding=0, name="pos_conv")(coords)
+        f = jnp.cos(8 * jnp.pi * pos).reshape(1, m, self.gp_dim)  # Fourier basis
+
+        xf = x.astype(jnp.float32).reshape(b, n, c)
+        yf = y.astype(jnp.float32).reshape(b, m, c)
+        k_yy = cos_kernel(yf, yf, self.T)
+        k_xy = cos_kernel(xf, yf, self.T)
+        k_yy = k_yy + self.sigma_noise * jnp.eye(m, dtype=jnp.float32)
+
+        chol = jnp.linalg.cholesky(k_yy)  # (B, M, M) lower
+        fb = jnp.broadcast_to(f, (b, m, self.gp_dim))
+        z = jax.scipy.linalg.solve_triangular(chol, fb, lower=True)
+        w = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), z, lower=False
+        )
+        mu = jnp.einsum("bnm,bmd->bnd", k_xy, w, preferred_element_type=jnp.float32)
+        return mu.reshape(b, h1, w1, self.gp_dim)
+
+
+# ---------------------------------------------------------------------------
+# Transformer match proposer
+# ---------------------------------------------------------------------------
+
+
+class TransformerDecoder(nn.Module):
+    """5x ViT blocks + linear head to res^2+1 anchor-classification channels
+    (reference transformer/__init__.py:10-46)."""
+
+    depth: int = 5
+    dim: int = 1024
+    num_heads: int = 8
+    out_dim: int = 64 * 64 + 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gp_posterior: jnp.ndarray, features: jnp.ndarray):
+        b, h, w, _ = gp_posterior.shape
+        x = jnp.concatenate(
+            (gp_posterior.astype(self.dtype), features.astype(self.dtype)), axis=-1
+        )
+        tokens = x.reshape(b, h * w, self.dim)
+        for i in range(self.depth):
+            tokens = Block(
+                self.dim, self.num_heads, layer_scale=False, dtype=self.dtype,
+                name=f"block{i}",
+            )(tokens)
+        out = nn.Dense(
+            self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
+        )(tokens)
+        out = out.astype(jnp.float32).reshape(b, h, w, self.out_dim)
+        return out[..., :-1], out[..., -1:]  # cls logits, certainty
+
+
+# ---------------------------------------------------------------------------
+# ConvRefiner
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinerSpec:
+    in_dim: int
+    hidden_dim: int
+    disp_emb_dim: int
+    local_corr_radius: int | None = None
+    kernel_size: int = 5
+    hidden_blocks: int = 8
+
+
+class ConvRefiner(nn.Module):
+    """Per-scale refinement CNN (reference matcher.py:23-179).
+
+    Depthwise 5x5 + 1x1 blocks; local correlation window around the current
+    warp for the coarse scales; f32 out_conv producing (delta_flow, delta_cert).
+    """
+
+    spec: RefinerSpec
+    dtype: Dtype = jnp.float32
+    train: bool = False
+    bn_momentum: float = 0.01
+
+    def _block(self, x, out_dim: int, dw: bool, name: str):
+        in_dim = x.shape[-1]
+        groups = in_dim if dw else 1
+        x = torch_conv(
+            out_dim,
+            kernel=self.spec.kernel_size,
+            padding=self.spec.kernel_size // 2,
+            groups=groups,
+            dtype=self.dtype,
+            name=f"{name}_conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not self.train,
+            momentum=1.0 - self.bn_momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=f"{name}_bn",
+        )(x)
+        x = nn.relu(x)
+        x = torch_conv(out_dim, kernel=1, padding=0, dtype=self.dtype, name=f"{name}_conv2")(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, y, flow, scale_factor: float = 1.0):
+        """x, y: (B,H,W,C) projected A/B features; flow (B,H,W,2) A->B warp."""
+        b, hs, ws, _ = x.shape
+        s = self.spec
+        x_hat = grid_sample(y, flow)
+        grid = normalized_grid(hs, ws)
+        disp = flow.astype(jnp.float32) - grid
+        emb = torch_conv(
+            s.disp_emb_dim, kernel=1, padding=0, dtype=self.dtype, name="disp_emb"
+        )((40.0 / 32.0 * scale_factor * disp).astype(self.dtype))
+        parts = [x, x_hat, emb]
+        if s.local_corr_radius is not None:
+            corr = local_correlation(x, y, s.local_corr_radius, flow)
+            parts.append(corr.astype(self.dtype))
+        d = jnp.concatenate(parts, axis=-1)
+        d = self._block(d, s.hidden_dim, dw=True, name="block1")
+        for j in range(s.hidden_blocks):
+            d = self._block(d, s.hidden_dim, dw=True, name=f"hidden{j}")
+        out = torch_conv(3, kernel=1, padding=0, name="out_conv")(d.astype(jnp.float32))
+        return out[..., :2], out[..., 2:]
+
+
+# ---------------------------------------------------------------------------
+# Decoder (coarse-to-fine orchestrator)
+# ---------------------------------------------------------------------------
+
+REFINER_SPECS = {
+    16: RefinerSpec(2 * 512 + 128 + 15**2, 2 * 512 + 128 + 15**2, 128, 7),
+    8: RefinerSpec(2 * 512 + 64 + 7**2, 2 * 512 + 64 + 7**2, 64, 3),
+    4: RefinerSpec(2 * 256 + 32 + 5**2, 2 * 256 + 32 + 5**2, 32, 2),
+    2: RefinerSpec(2 * 64 + 16, 128 + 16, 16, None),
+    1: RefinerSpec(2 * 9 + 6, 24, 6, None),
+}
+
+PROJ_SPECS = {16: (1024, 512), 8: (512, 512), 4: (256, 256), 2: (128, 64), 1: (64, 9)}
+
+
+class Decoder(nn.Module):
+    """Scale loop (reference matcher.py:326-527). ``upsample=True`` runs
+    scales [8,4,2,1] seeded with the previous pass's finest flow/certainty."""
+
+    dtype: Dtype = jnp.float32
+    train_mode: bool = False
+    detach: bool = True
+    refine_init: int = 4
+
+    def setup(self):
+        self.embedding_decoder = TransformerDecoder(dtype=self.dtype, name="embedding_decoder")
+        self.gp16 = GP(name="gp16")
+        self._projs = {
+            s: (
+                torch_conv(out, kernel=1, padding=0, dtype=self.dtype, name=f"proj{s}_conv"),
+                torch_bn(affine=True, train=self.train_mode, dtype=self.dtype, name=f"proj{s}_bn"),
+            )
+            for s, (_, out) in PROJ_SPECS.items()
+        }
+        self._refiners = {
+            s: ConvRefiner(
+                spec, dtype=self.dtype, train=self.train_mode, name=f"refiner{s}"
+            )
+            for s, spec in REFINER_SPECS.items()
+        }
+
+    def __call__(
+        self,
+        f1: dict[int, jnp.ndarray],
+        f2: dict[int, jnp.ndarray],
+        upsample: bool = False,
+        flow: jnp.ndarray | None = None,
+        certainty: jnp.ndarray | None = None,
+        scale_factor: float = 1.0,
+    ):
+        scales = [8, 4, 2, 1] if upsample else [16, 8, 4, 2, 1]
+        sizes = {s: (f.shape[1], f.shape[2]) for s, f in f1.items()}
+        h, w = sizes[1]
+        b = f1[1].shape[0]
+        coarsest = scales[0]
+
+        if not upsample:
+            flow = jnp.broadcast_to(
+                normalized_grid(*sizes[coarsest]), (b, *sizes[coarsest], 2)
+            )
+            certainty = jnp.zeros((b, *sizes[coarsest], 1), jnp.float32)
+        else:
+            flow = interpolate(flow, sizes[coarsest], mode="bilinear")
+            certainty = interpolate(certainty, sizes[coarsest], mode="bilinear")
+
+        corresps: dict[int, dict[str, jnp.ndarray]] = {}
+        for ins in scales:
+            corresps[ins] = {}
+            conv, bn = self._projs[ins]
+            f1_s = bn(conv(f1[ins].astype(self.dtype)))
+            f2_s = bn(conv(f2[ins].astype(self.dtype)))
+
+            if ins == 16 and not upsample:
+                gp_posterior = self.gp16(f1_s, f2_s)
+                cls_logits, certainty = self.embedding_decoder(gp_posterior, f1_s)
+                flow = cls_to_flow_refine(cls_logits)
+                if self.train_mode:
+                    corresps[ins].update(gm_cls=cls_logits, gm_certainty=certainty)
+
+            if self.train_mode:
+                corresps[ins]["flow_pre_delta"] = flow
+            delta_flow, delta_certainty = self._refiners[ins](
+                f1_s, f2_s, flow, scale_factor=scale_factor
+            )
+            if self.train_mode:
+                corresps[ins]["delta_flow"] = delta_flow
+            displacement = ins * jnp.stack(
+                (
+                    delta_flow[..., 0] / (self.refine_init * w),
+                    delta_flow[..., 1] / (self.refine_init * h),
+                ),
+                axis=-1,
+            )
+            flow = flow + displacement
+            certainty = certainty + delta_certainty
+            corresps[ins].update(certainty=certainty, flow=flow)
+
+            if ins != 1:
+                flow = interpolate(flow, sizes[ins // 2], mode="bilinear")
+                certainty = interpolate(certainty, sizes[ins // 2], mode="bilinear")
+                if self.detach:
+                    flow = jax.lax.stop_gradient(flow)
+                    certainty = jax.lax.stop_gradient(certainty)
+        return corresps
+
+
+# ---------------------------------------------------------------------------
+# Full network: encoder + decoder with symmetric batching
+# ---------------------------------------------------------------------------
+
+
+class RoMaNet(nn.Module):
+    """Backbone + decoder with the reference's A|B concat batching
+    (reference matcher.py:585-670)."""
+
+    dtype: Dtype = jnp.float32
+    coarse_dtype: Dtype = jnp.float32
+    train_mode: bool = False
+
+    def setup(self):
+        self.encoder = CNNandDinov2(
+            dtype=self.dtype,
+            coarse_dtype=self.coarse_dtype,
+            train=self.train_mode,
+            name="encoder",
+        )
+        self.decoder = Decoder(dtype=self.dtype, train_mode=self.train_mode, name="decoder")
+
+    def __call__(
+        self,
+        im_A: jnp.ndarray,
+        im_B: jnp.ndarray,
+        symmetric: bool = False,
+        upsample: bool = False,
+        flow: jnp.ndarray | None = None,
+        certainty: jnp.ndarray | None = None,
+        scale_factor: float = 1.0,
+    ):
+        x = jnp.concatenate((im_A, im_B), axis=0).astype(self.dtype)
+        pyramid = self.encoder(x, upsample=upsample)
+        if symmetric:
+            f_q = pyramid
+            f_s = {
+                s: jnp.concatenate(jnp.split(f, 2, axis=0)[::-1], axis=0)
+                for s, f in pyramid.items()
+            }
+        else:
+            f_q = {s: jnp.split(f, 2, axis=0)[0] for s, f in pyramid.items()}
+            f_s = {s: jnp.split(f, 2, axis=0)[1] for s, f in pyramid.items()}
+        return self.decoder(
+            f_q,
+            f_s,
+            upsample=upsample,
+            flow=flow,
+            certainty=certainty,
+            scale_factor=scale_factor,
+        )

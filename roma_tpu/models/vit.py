@@ -1,0 +1,184 @@
+"""ViT building blocks + DINOv2 vision transformer (Flax, NHWC tokens).
+
+TPU-native re-design of the reference's vendored DINOv2
+(romatch/models/transformer/dinov2.py:43-359, layers/*.py):
+  * pre-norm Block with optional LayerScale (init_values=1.0 for DINOv2),
+  * SDPA attention via ops.sdpa (the XLA replacement for torch SDPA /
+    xformers memory_efficient_attention, layers/attention.py:50-96),
+  * bicubic pos-embed interpolation for arbitrary resolution with torch
+    ``scale_factor`` semantics (dinov2.py:166-190) via ops.interpolate,
+  * frozen in the RoMa pipeline: the caller wraps with stop_gradient.
+
+Token layout (B, N, D); param layout matches torch Linear transposed at
+conversion time (models/zoo/convert.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import interpolate, sdpa
+
+Dtype = Any
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        h = self.num_heads
+        d = c // h
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+        out = sdpa(qkv[0], qkv[1], qkv[2])  # (B, H, N, D)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(
+            c, use_bias=self.proj_bias, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        )(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    """Pre-norm ViT block (reference layers/block.py:36-108, eval path)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layer_scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        attn_out = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+            ln("norm1")(x)
+        )
+        if self.layer_scale:
+            attn_out = LayerScale(self.dim, name="ls1")(attn_out)
+        x = x + attn_out
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
+            ln("norm2")(x)
+        )
+        if self.layer_scale:
+            mlp_out = LayerScale(self.dim, name="ls2")(mlp_out)
+        return x + mlp_out
+
+
+class DinoV2(nn.Module):
+    """DINOv2 vision transformer, forward_features path only.
+
+    Returns the normalized patch tokens reshaped to an NHWC stride-14 map —
+    the only output the RoMa encoder consumes (reference encoders.py:60-67).
+    """
+
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    patch_size: int = 14
+    pretrain_img_size: int = 518
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, 3), H/W % 14 == 0 -> (B, H/14, W/14, embed_dim)."""
+        b, h, w, _ = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+
+        tokens = nn.Conv(
+            self.embed_dim,
+            (p, p),
+            strides=(p, p),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(x).reshape(b, gh * gw, self.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
+        )
+        n_pretrain = (self.pretrain_img_size // p) ** 2
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, n_pretrain + 1, self.embed_dim),
+            jnp.float32,
+        )
+        pos = self._interpolate_pos_encoding(pos_embed, gh, gw)
+        tokens = jnp.concatenate(
+            (jnp.broadcast_to(cls_token.astype(tokens.dtype), (b, 1, self.embed_dim)), tokens),
+            axis=1,
+        )
+        tokens = tokens + pos.astype(tokens.dtype)
+
+        for i in range(self.depth):
+            tokens = Block(
+                self.embed_dim,
+                self.num_heads,
+                layer_scale=True,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(tokens)
+        tokens = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
+        )(tokens)
+        return tokens[:, 1:].reshape(b, gh, gw, self.embed_dim)
+
+    def _interpolate_pos_encoding(self, pos_embed, gh: int, gw: int):
+        """Bicubic resize of the pretraining pos-embed grid to (gh, gw),
+        reproducing torch's scale_factor + 0.1 trick (dinov2.py:166-190)."""
+        n = pos_embed.shape[1] - 1
+        side = int(math.sqrt(n))
+        if gh * gw == n and gh == gw:
+            return pos_embed
+        cls_pos = pos_embed[:, :1]
+        patch_pos = pos_embed[:, 1:].reshape(1, side, side, self.embed_dim)
+        patch_pos = interpolate(
+            patch_pos,
+            (gh, gw),
+            mode="bicubic",
+            scale_factor=((gh + 0.1) / side, (gw + 0.1) / side),
+        )
+        return jnp.concatenate(
+            (cls_pos, patch_pos.reshape(1, gh * gw, self.embed_dim)), axis=1
+        )
+
+
+def vit_large(dtype: Dtype = jnp.float32) -> DinoV2:
+    """DINOv2 ViT-L/14 preset (reference dinov2.py:333-345)."""
+    return DinoV2(embed_dim=1024, depth=24, num_heads=16, dtype=dtype, name=None)

@@ -1,0 +1,132 @@
+"""Model zoo — constructors mirroring the reference public entry points
+(romatch/models/model_zoo/__init__.py:18-94): ``tiny_roma_v1_outdoor``,
+``roma_outdoor``, ``roma_indoor``.
+
+Weight files are the released torch ``.pth`` checkpoints; pass local paths
+(this environment has no network egress). With no weights the models come up
+randomly initialized — correct shapes/jit, not pretrained accuracy.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..roma import RegressionMatcher
+from ..tiny import TinyRoMa
+from . import convert
+
+WEIGHT_URLS = {
+    "romatch": {
+        "outdoor": "https://github.com/Parskatt/storage/releases/download/roma/roma_outdoor.pth",
+        "indoor": "https://github.com/Parskatt/storage/releases/download/roma/roma_indoor.pth",
+    },
+    "tiny_roma_v1": {
+        "outdoor": "https://github.com/Parskatt/storage/releases/download/roma/tiny_roma_v1_outdoor.pth",
+    },
+    "dinov2": "https://dl.fbaipublicfiles.com/dinov2/dinov2_vitl14/dinov2_vitl14_pretrain.pth",
+}
+
+
+def _load_torch_state_dict(path):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return convert.state_dict_to_numpy(sd)
+
+
+def tiny_roma_v1_outdoor(
+    weights: str | dict | None = None,
+    xfeat_weights: str | dict | None = None,
+    exact_softmax: bool = False,
+    dtype: Any = jnp.float32,
+) -> TinyRoMa:
+    """Tiny RoMa v1 (reference model_zoo/__init__.py:18-28).
+
+    Args:
+      weights: path to tiny_roma_v1_outdoor.pth (or converted numpy dict).
+      xfeat_weights: path to the XFeat hub checkpoint (state dict of `.net`).
+    """
+    if weights is not None and xfeat_weights is not None:
+        tiny_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
+        xfeat_sd = (
+            xfeat_weights
+            if isinstance(xfeat_weights, dict)
+            else _load_torch_state_dict(xfeat_weights)
+        )
+        variables = convert.convert_tiny_roma(tiny_sd, xfeat_sd)
+    else:
+        variables = TinyRoMa.init_variables(dtype=dtype)
+    return TinyRoMa(variables, exact_softmax=exact_softmax, dtype=dtype)
+
+
+def _roma_model(
+    weights=None,
+    dinov2_weights=None,
+    coarse_res: int | tuple[int, int] = 560,
+    upsample_res: int | tuple[int, int] = 864,
+    symmetric: bool = True,
+    upsample_preds: bool = True,
+    attenuate_cert: bool = True,
+    dtype: Any = jnp.float32,
+    amp: bool = True,
+) -> RegressionMatcher:
+    """Build a full RoMa matcher (reference model_zoo/roma_models.py:32-205).
+
+    ``amp=True`` maps the reference's fp16 autocast regions to bf16 compute
+    (the TPU-native mixed precision); GP solve and out_convs stay f32.
+    """
+    if isinstance(coarse_res, int):
+        coarse_res = (coarse_res, coarse_res)
+    if isinstance(upsample_res, int):
+        upsample_res = (upsample_res, upsample_res)
+    compute_dtype = jnp.bfloat16 if amp else dtype
+    if weights is not None and dinov2_weights is not None:
+        roma_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
+        dino_sd = (
+            dinov2_weights
+            if isinstance(dinov2_weights, dict)
+            else _load_torch_state_dict(dinov2_weights)
+        )
+        variables = convert.convert_roma(roma_sd, dino_sd)
+    else:
+        variables = RegressionMatcher.init_variables(dtype=compute_dtype)
+    return RegressionMatcher(
+        variables,
+        h=coarse_res[0],
+        w=coarse_res[1],
+        upsample_preds=upsample_preds,
+        upsample_res=upsample_res,
+        symmetric=symmetric,
+        attenuate_cert=attenuate_cert,
+        dtype=compute_dtype,
+    )
+
+
+def roma_outdoor(
+    weights=None, dinov2_weights=None, coarse_res=560, upsample_res=864, **kw
+) -> RegressionMatcher:
+    """RoMa outdoor (reference model_zoo/__init__.py:31-61)."""
+    return _roma_model(
+        weights=weights,
+        dinov2_weights=dinov2_weights,
+        coarse_res=coarse_res,
+        upsample_res=upsample_res,
+        **kw,
+    )
+
+
+def roma_indoor(
+    weights=None, dinov2_weights=None, coarse_res=560, upsample_res=864, **kw
+) -> RegressionMatcher:
+    """RoMa indoor (reference model_zoo/__init__.py:64-94). Architecture is
+    identical to outdoor; only the released weights differ."""
+    return _roma_model(
+        weights=weights,
+        dinov2_weights=dinov2_weights,
+        coarse_res=coarse_res,
+        upsample_res=upsample_res,
+        **kw,
+    )

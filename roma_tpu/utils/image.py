@@ -1,0 +1,54 @@
+"""Host-side image IO / preprocessing (NumPy + PIL — device code starts at
+the normalized array, mirroring the reference's host/device boundary
+romatch/models/matcher.py:812-816).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def load_image(im) -> Image.Image:
+    """str/Path/PIL -> RGB PIL image (reference matcher.py:530-547)."""
+    if isinstance(im, (str, Path)):
+        im = Image.open(im)
+    if not isinstance(im, Image.Image):
+        raise TypeError(f"expected path or PIL image, got {type(im)}")
+    return im.convert("RGB")
+
+
+def to_array(im: Image.Image) -> np.ndarray:
+    """PIL -> float32 HWC in [0, 1] (torchvision ToTensor semantics)."""
+    return np.asarray(im, dtype=np.float32) / 255.0
+
+
+def resize(im: Image.Image, size_hw: tuple[int, int], mode=Image.BICUBIC):
+    """Resize PIL image to (h, w); reference TupleResize uses bicubic
+    (romatch/utils/utils.py:164-173)."""
+    h, w = size_hw
+    return im.resize((w, h), mode)
+
+
+def imagenet_normalize(x: np.ndarray) -> np.ndarray:
+    """Normalize float HWC/NHWC array with ImageNet statistics."""
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def prepare(im, size_hw: tuple[int, int] | None = None, normalize: bool = True):
+    """Full host preprocess: load -> (resize) -> [0,1] float -> (normalize).
+
+    Returns (array (H, W, 3) float32, original (H, W)).
+    """
+    pil = load_image(im)
+    w0, h0 = pil.size
+    if size_hw is not None:
+        pil = resize(pil, size_hw)
+    x = to_array(pil)
+    if normalize:
+        x = imagenet_normalize(x)
+    return x, (h0, w0)
