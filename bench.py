@@ -1,0 +1,66 @@
+"""Benchmark: big-RoMa dense match throughput (pairs/sec/chip) at 560->864.
+
+Mirrors the reference timing harness (tests/test_roma_upsample_inference_time.py:
+bs8, 560 coarse + 864 upsample, bf16) but measures the full jitted two-pass
+pipeline. The reference repo records no wall-clock numbers; the baseline used
+for ``vs_baseline`` is 1.0 pairs/sec/chip — a conservative estimate of the
+reference's A100 two-pass throughput at this resolution (RoMa is ~0.5-1 s/pair
+on A100; README/test harnesses assert nothing).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_PAIRS_PER_SEC = 1.0
+
+
+def main():
+    from roma_tpu.models.zoo import roma_outdoor
+
+    on_tpu = jax.default_backend() != "cpu"
+    batch = 8 if on_tpu else 1
+    coarse, up = (560, 864) if on_tpu else (140, 168)
+    iters = 10 if on_tpu else 2
+
+    model = roma_outdoor(coarse_res=coarse, upsample_res=up, amp=on_tpu)
+    rs = np.random.RandomState(0)
+    im_A = jnp.asarray(rs.randn(batch, coarse, coarse, 3), model.dtype)
+    im_B = jnp.asarray(rs.randn(batch, coarse, coarse, 3), model.dtype)
+    im_A_u = jnp.asarray(rs.randn(batch, up, up, 3), model.dtype)
+    im_B_u = jnp.asarray(rs.randn(batch, up, up, 3), model.dtype)
+
+    def run():
+        warp, cert = model.match(
+            im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u
+        )
+        jax.block_until_ready(cert)
+        return warp, cert
+
+    run()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"roma_outdoor_{coarse}to{up}_bs{batch}_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/sec",
+                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,6 @@ for TPUs: NHWC layouts, static-shape jitted match pipelines, MXU-friendly
 correlation/GP matmuls, Pallas kernels for the windowed local correlation,
 and jax.sharding data parallelism for training and benchmark sweeps.
 """
-from .models.zoo import tiny_roma_v1_outdoor
+from .models.zoo import roma_indoor, roma_outdoor, tiny_roma_v1_outdoor
 
-__all__ = ["tiny_roma_v1_outdoor"]
+__all__ = ["roma_indoor", "roma_outdoor", "tiny_roma_v1_outdoor"]

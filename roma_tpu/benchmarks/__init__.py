@@ -1,0 +1,25 @@
+from .hpatches import HpatchesHomogBenchmark
+from .mega1500 import MEGA_8_SCENES, MEGA_1500_SCENES, MegaDepthPoseEstimationBenchmark
+from .mega_dense import MegadepthDenseBenchmark
+from .pose import (
+    compute_pose_error,
+    compute_relative_pose,
+    estimate_pose,
+    estimate_pose_uncalibrated,
+    pose_auc,
+)
+from .scannet import ScanNetBenchmark
+
+__all__ = [
+    "HpatchesHomogBenchmark",
+    "MEGA_8_SCENES",
+    "MEGA_1500_SCENES",
+    "MegaDepthPoseEstimationBenchmark",
+    "MegadepthDenseBenchmark",
+    "ScanNetBenchmark",
+    "compute_pose_error",
+    "compute_relative_pose",
+    "estimate_pose",
+    "estimate_pose_uncalibrated",
+    "pose_auc",
+]

@@ -1,0 +1,98 @@
+"""Host-side pair transforms (NumPy/PIL) — reference romatch/utils/utils.py
+tuple transforms (:150-281) and romatch/utils/transforms.py augmentations.
+
+Images flow as float32 HWC in [0,1] (normalized at the end); depths as
+float32 HW. Everything stays NumPy until the batch hits the device.
+"""
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from ..utils.image import IMAGENET_MEAN, IMAGENET_STD
+
+
+def resize_image(im: Image.Image, ht: int, wt: int) -> np.ndarray:
+    """Bicubic PIL resize -> float HWC [0,1] (TupleResize default mode)."""
+    return np.asarray(im.convert("RGB").resize((wt, ht), Image.BICUBIC), np.float32) / 255.0
+
+
+def resize_depth(depth: np.ndarray, ht: int, wt: int, mode: str = "bilinear") -> np.ndarray:
+    """Depth resize; 'bilinear' (TupleResize BILINEAR) or 'nearest-exact'."""
+    h, w = depth.shape
+    if (h, w) == (ht, wt):
+        return depth.astype(np.float32)
+    if mode == "nearest-exact":
+        ys = np.clip(((np.arange(ht) + 0.5) * h / ht).astype(np.int64), 0, h - 1)
+        xs = np.clip(((np.arange(wt) + 0.5) * w / wt).astype(np.int64), 0, w - 1)
+        return depth[ys[:, None], xs[None, :]].astype(np.float32)
+    # separable bilinear with torch align_corners=False semantics
+    def axis_weights(n_in, n_out):
+        src = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        x0 = np.floor(src)
+        f = src - x0
+        i0 = np.clip(x0, 0, n_in - 1).astype(np.int64)
+        i1 = np.clip(x0 + 1, 0, n_in - 1).astype(np.int64)
+        return i0, i1, f.astype(np.float32)
+
+    y0, y1, fy = axis_weights(h, ht)
+    x0, x1, fx = axis_weights(w, wt)
+    top = depth[y0][:, x0] * (1 - fx) + depth[y0][:, x1] * fx
+    bot = depth[y1][:, x0] * (1 - fx) + depth[y1][:, x1] * fx
+    return (top * (1 - fy[:, None]) + bot * fy[:, None]).astype(np.float32)
+
+
+def normalize_image(x: np.ndarray) -> np.ndarray:
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def translate(x: np.ndarray, tx: int, ty: int) -> np.ndarray:
+    """Zero-padded integer translation (torchvision affine translate
+    semantics used by rand_shake, megadepth.py:104-109)."""
+    out = np.zeros_like(x)
+    h, w = x.shape[:2]
+    src_y = slice(max(0, -ty), min(h, h - ty))
+    dst_y = slice(max(0, ty), min(h, h + ty))
+    src_x = slice(max(0, -tx), min(w, w - tx))
+    dst_x = slice(max(0, tx), min(w, w + tx))
+    out[dst_y, dst_x] = x[src_y, src_x]
+    return out
+
+
+def horizontal_flip_pair(im_A, im_B, depth_A, depth_B, K_A, K_B, wt: int):
+    """Flip both images + depths, fix intrinsics (megadepth.py:78-90)."""
+    flip = np.array([[-1, 0, wt], [0, 1, 0], [0, 0, 1]], np.float32)
+    return (
+        im_A[:, ::-1].copy(),
+        im_B[:, ::-1].copy(),
+        depth_A[:, ::-1].copy(),
+        depth_B[:, ::-1].copy(),
+        flip @ K_A,
+        flip @ K_B,
+    )
+
+
+class RandomErasing:
+    """Joint image+depth random erasing (reference utils/transforms.py:70-118)."""
+
+    def __init__(self, p: float = 0.0, scale: tuple[float, float] = (0.02, 0.33)):
+        self.p = p
+        self.scale = scale
+
+    def __call__(self, rng: np.random.RandomState, image: np.ndarray, depth: np.ndarray):
+        if rng.rand() > self.p:
+            return image, depth
+        h, w = image.shape[:2]
+        area = h * w * rng.uniform(*self.scale)
+        aspect = rng.uniform(0.3, 3.3)
+        eh = int(round(np.sqrt(area * aspect)))
+        ew = int(round(np.sqrt(area / aspect)))
+        if eh >= h or ew >= w:
+            return image, depth
+        y = rng.randint(0, h - eh)
+        x = rng.randint(0, w - ew)
+        image = image.copy()
+        depth = depth.copy()
+        image[y : y + eh, x : x + ew] = 0
+        depth[y : y + eh, x : x + ew] = 0
+        return image, depth

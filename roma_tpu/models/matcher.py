@@ -35,7 +35,7 @@ from ..ops import (
 )
 from .blocks import torch_bn, torch_conv
 from .encoders import CNNandDinov2
-from .vit import Block
+from .vit import ScannedBlocks
 
 Dtype = Any
 
@@ -112,11 +112,12 @@ class TransformerDecoder(nn.Module):
             (gp_posterior.astype(self.dtype), features.astype(self.dtype)), axis=-1
         )
         tokens = x.reshape(b, h * w, self.dim)
-        for i in range(self.depth):
-            tokens = Block(
-                self.dim, self.num_heads, layer_scale=False, dtype=self.dtype,
-                name=f"block{i}",
-            )(tokens)
+        # reference Block defaults: qkv_bias=False, no LayerScale
+        # (transformer/layers/block.py:42, roma_models.py:78)
+        tokens = ScannedBlocks(
+            depth=self.depth, dim=self.dim, num_heads=self.num_heads,
+            layer_scale=False, qkv_bias=False, dtype=self.dtype, name="blocks",
+        )(tokens)
         out = nn.Dense(
             self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
         )(tokens)
@@ -139,28 +140,22 @@ class RefinerSpec:
     hidden_blocks: int = 8
 
 
-class ConvRefiner(nn.Module):
-    """Per-scale refinement CNN (reference matcher.py:23-179).
+class RefinerBlock(nn.Module):
+    """create_block: Conv(k5, depthwise) -> BN -> ReLU -> Conv1x1
+    (reference matcher.py:92-122)."""
 
-    Depthwise 5x5 + 1x1 blocks; local correlation window around the current
-    warp for the coarse scales; f32 out_conv producing (delta_flow, delta_cert).
-    """
-
-    spec: RefinerSpec
+    out_dim: int
+    kernel: int = 5
     dtype: Dtype = jnp.float32
     train: bool = False
     bn_momentum: float = 0.01
 
-    def _block(self, x, out_dim: int, dw: bool, name: str):
-        in_dim = x.shape[-1]
-        groups = in_dim if dw else 1
+    @nn.compact
+    def __call__(self, x):
+        groups = x.shape[-1]  # dw=True everywhere in big RoMa
         x = torch_conv(
-            out_dim,
-            kernel=self.spec.kernel_size,
-            padding=self.spec.kernel_size // 2,
-            groups=groups,
-            dtype=self.dtype,
-            name=f"{name}_conv1",
+            self.out_dim, kernel=self.kernel, padding=self.kernel // 2,
+            groups=groups, dtype=self.dtype, name="conv1",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not self.train,
@@ -168,11 +163,48 @@ class ConvRefiner(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            name=f"{name}_bn",
+            name="bn",
         )(x)
         x = nn.relu(x)
-        x = torch_conv(out_dim, kernel=1, padding=0, dtype=self.dtype, name=f"{name}_conv2")(x)
+        return torch_conv(self.out_dim, kernel=1, padding=0, dtype=self.dtype, name="conv2")(x)
+
+
+class ScannedRefinerBlocks(nn.Module):
+    """The 8 identical hidden blocks under nn.scan (own submodule so the scan
+    target scope contains only the scanned block — sibling params must not be
+    lifted)."""
+
+    length: int
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x):
+        def body(mdl, carry, _):
+            return RefinerBlock(**self.block_kwargs, name="block")(carry), None
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            length=self.length,
+        )
+        x, _ = scan(self, x, None)
         return x
+
+
+class ConvRefiner(nn.Module):
+    """Per-scale refinement CNN (reference matcher.py:23-179).
+
+    Depthwise 5x5 + 1x1 blocks (the 8 identical hidden blocks run under
+    nn.scan — one compiled block, depth-stacked weights); local correlation
+    window around the current warp for the coarse scales; f32 out_conv
+    producing (delta_flow, delta_cert).
+    """
+
+    spec: RefinerSpec
+    dtype: Dtype = jnp.float32
+    train: bool = False
+    bn_momentum: float = 0.01
 
     @nn.compact
     def __call__(self, x, y, flow, scale_factor: float = 1.0):
@@ -190,9 +222,14 @@ class ConvRefiner(nn.Module):
             corr = local_correlation(x, y, s.local_corr_radius, flow)
             parts.append(corr.astype(self.dtype))
         d = jnp.concatenate(parts, axis=-1)
-        d = self._block(d, s.hidden_dim, dw=True, name="block1")
-        for j in range(s.hidden_blocks):
-            d = self._block(d, s.hidden_dim, dw=True, name=f"hidden{j}")
+        blk = dict(
+            out_dim=s.hidden_dim, kernel=s.kernel_size, dtype=self.dtype,
+            train=self.train, bn_momentum=self.bn_momentum,
+        )
+        d = RefinerBlock(**blk, name="block1")(d)
+        d = ScannedRefinerBlocks(
+            length=s.hidden_blocks, block_kwargs=blk, name="hidden"
+        )(d)
         out = torch_conv(3, kernel=1, padding=0, name="out_conv")(d.astype(jnp.float32))
         return out[..., :2], out[..., 2:]
 

@@ -70,7 +70,7 @@ class RegressionMatcher:
         key = key if key is not None else jax.random.PRNGKey(0)
         net = RoMaNet(dtype=dtype)
         dummy = jnp.zeros((1, res, res, 3), dtype)
-        return net.init(key, dummy, dummy)
+        return jax.jit(net.init)(key, dummy, dummy)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)

@@ -128,6 +128,10 @@ class TinyRoMaNet(nn.Module):
         corresps = {
             8: {"flow": coarse[..., :2], "certainty": coarse[..., 2:]},
         }
+        if self.train_mode:
+            # query-major (B, N_A, N_B) volume for the InfoNCE loss
+            # (train/losses_tiny.py; reference robust_loss_tiny_roma.py:50-61)
+            corresps[8]["corr_volume"] = cvt
 
         hf, wf = f_a_f.shape[1], f_a_f.shape[2]
         coarse_up = interpolate(coarse, (hf, wf), mode="bilinear")
@@ -182,7 +186,7 @@ class TinyRoMa:
         key = key if key is not None else jax.random.PRNGKey(0)
         net = TinyRoMaNet(dtype=dtype)
         dummy = jnp.zeros((1, 64, 64, 3), dtype)
-        return net.init(key, dummy, dummy)
+        return jax.jit(net.init)(key, dummy, dummy)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)

@@ -125,15 +125,32 @@ def convert_vit_block(sd, prefix: str, params: dict, path: tuple[str, ...]):
             _set(params, path + (ls, "gamma"), sd[f"{prefix}.{ls}.gamma"])
 
 
+def _stack_trees(trees):
+    """Stack a list of identically-shaped nested dicts along a new axis 0
+    (the nn.scan depth axis of models/vit.py::ScannedBlocks)."""
+    out = {}
+    for k in trees[0]:
+        vals = [t[k] for t in trees]
+        out[k] = _stack_trees(vals) if isinstance(vals[0], dict) else np.stack(vals)
+    return out
+
+
 def convert_dinov2(sd: dict[str, np.ndarray], depth: int = 24):
-    """dinov2_vitl14_pretrain.pth -> params subtree for models/vit.py::DinoV2."""
+    """dinov2_vitl14_pretrain.pth -> params subtree for models/vit.py::DinoV2.
+
+    Per-block weights are stacked along a leading depth axis for the scanned
+    layer stack."""
     params: dict = {}
     _set(params, ("patch_embed", "kernel"), conv_kernel(sd["patch_embed.proj.weight"]))
     _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
     _set(params, ("cls_token",), sd["cls_token"])
     _set(params, ("pos_embed",), sd["pos_embed"])
+    blocks = []
     for i in range(depth):
-        convert_vit_block(sd, f"blocks.{i}", params, (f"block{i}",))
+        b: dict = {}
+        convert_vit_block(sd, f"blocks.{i}", b, ("block",))
+        blocks.append(b["block"])
+    _set(params, ("blocks", "block"), _stack_trees(blocks))
     _set(params, ("norm", "scale"), sd["norm.weight"])
     _set(params, ("norm", "bias"), sd["norm.bias"])
     return params
@@ -167,17 +184,18 @@ def convert_vgg19(sd: dict[str, np.ndarray], prefix: str = "encoder.cnn.layers")
     return params, stats
 
 
-def _convert_refiner_block(sd, prefix: str, params, stats, path):
+def _convert_refiner_block(sd, prefix: str):
     """torch create_block Sequential(conv5x5, BN, ReLU, conv1x1)
-    (reference matcher.py:92-122) -> {name_conv1, name_bn, name_conv2}."""
-    name = path[-1]
-    parent = path[:-1]
-    _set(params, parent + (f"{name}_conv1", "kernel"), conv_kernel(sd[f"{prefix}.0.weight"]))
+    (reference matcher.py:92-122) -> ({conv1, bn, conv2} params, {bn} stats)."""
+    params: dict = {}
+    stats: dict = {}
+    _set(params, ("conv1", "kernel"), conv_kernel(sd[f"{prefix}.0.weight"]))
     if f"{prefix}.0.bias" in sd:
-        _set(params, parent + (f"{name}_conv1", "bias"), sd[f"{prefix}.0.bias"])
-    _convert_torch_bn(sd, f"{prefix}.1", params, stats, parent + (f"{name}_bn",))
-    _set(params, parent + (f"{name}_conv2", "kernel"), conv_kernel(sd[f"{prefix}.3.weight"]))
-    _set(params, parent + (f"{name}_conv2", "bias"), sd[f"{prefix}.3.bias"])
+        _set(params, ("conv1", "bias"), sd[f"{prefix}.0.bias"])
+    _convert_torch_bn(sd, f"{prefix}.1", params, stats, ("bn",))
+    _set(params, ("conv2", "kernel"), conv_kernel(sd[f"{prefix}.3.weight"]))
+    _set(params, ("conv2", "bias"), sd[f"{prefix}.3.bias"])
+    return params, stats
 
 
 def convert_roma(
@@ -198,10 +216,14 @@ def convert_roma(
 
     dec_p: dict = {}
     dec_s: dict = {}
-    # transformer decoder
+    # transformer decoder (scanned blocks -> depth-stacked)
     ed: dict = {}
+    blocks = []
     for i in range(decoder_depth):
-        convert_vit_block(roma_sd, f"decoder.embedding_decoder.blocks.{i}", ed, (f"block{i}",))
+        b: dict = {}
+        convert_vit_block(roma_sd, f"decoder.embedding_decoder.blocks.{i}", b, ("block",))
+        blocks.append(b["block"])
+    _set(ed, ("blocks", "block"), _stack_trees(blocks))
     _set(ed, ("to_out", "kernel"), linear_kernel(roma_sd["decoder.embedding_decoder.to_out.weight"]))
     _set(ed, ("to_out", "bias"), roma_sd["decoder.embedding_decoder.to_out.bias"])
     dec_p["embedding_decoder"] = ed
@@ -214,11 +236,15 @@ def convert_roma(
         _set(dec_p, (f"proj{s}_conv", "bias"), roma_sd[f"decoder.proj.{s}.0.bias"])
         _convert_torch_bn(roma_sd, f"decoder.proj.{s}.1", dec_p, dec_s, (f"proj{s}_bn",))
         rp = f"decoder.conv_refiner.{s}"
-        _convert_refiner_block(roma_sd, f"{rp}.block1", dec_p, dec_s, (f"refiner{s}", "block1"))
-        for j in range(hidden_blocks):
-            _convert_refiner_block(
-                roma_sd, f"{rp}.hidden_blocks.{j}", dec_p, dec_s, (f"refiner{s}", f"hidden{j}")
-            )
+        b1_p, b1_s = _convert_refiner_block(roma_sd, f"{rp}.block1")
+        _set(dec_p, (f"refiner{s}", "block1"), b1_p)
+        _set(dec_s, (f"refiner{s}", "block1"), b1_s)
+        hid = [
+            _convert_refiner_block(roma_sd, f"{rp}.hidden_blocks.{j}")
+            for j in range(hidden_blocks)
+        ]
+        _set(dec_p, (f"refiner{s}", "hidden", "block"), _stack_trees([p for p, _ in hid]))
+        _set(dec_s, (f"refiner{s}", "hidden", "block"), _stack_trees([st for _, st in hid]))
         _set(dec_p, (f"refiner{s}", "out_conv", "kernel"), conv_kernel(roma_sd[f"{rp}.out_conv.weight"]))
         _set(dec_p, (f"refiner{s}", "out_conv", "bias"), roma_sd[f"{rp}.out_conv.bias"])
         _set(dec_p, (f"refiner{s}", "disp_emb", "kernel"), conv_kernel(roma_sd[f"{rp}.disp_emb.weight"]))

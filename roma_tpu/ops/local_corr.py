@@ -97,24 +97,47 @@ def _local_corr_corrvol_single(f0, f1, warp, radius: int):
     return corr.reshape(h, w, (2 * radius + 1) ** 2)
 
 
-def _local_corr_patch_single(f0, f1, warp, radius: int):
-    """Per-image core gathering feature patches instead of the corr volume."""
+def _local_corr_patch_single(f0, f1, warp, radius: int, pixel_chunk: int = 2048):
+    """Per-image core gathering feature patches instead of the corr volume.
+
+    The (n, p^2, C) patch gather is the memory hot spot at fine scales
+    (e.g. 864/8 -> n=11664, p=8, C=512); chunk over pixels with lax.map so
+    the transient stays ~pixel_chunk * p^2 * C * 4 bytes.
+    """
     h, w, c = f0.shape
     n = h * w
     p = 2 * radius + 2
     y0, x0, fy, fx = _base_indices(warp.reshape(n, 2), h, w)
-    idx, valid = _patch_index_and_mask(y0, x0, radius, h, w)
     f1_flat = f1.reshape(n, c)
-    patch = jnp.take(f1_flat, idx.reshape(n * p * p), axis=0).reshape(n, p * p, c)
-    patch = patch * valid.reshape(n, p * p, 1).astype(patch.dtype)
-    dpatch = jnp.einsum(
-        "nkc,nc->nk",
-        patch.astype(jnp.float32),
-        f0.reshape(n, c).astype(jnp.float32) / jnp.sqrt(jnp.float32(c)),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(n, p, p)
-    corr = _combine_corners(dpatch, fy[:, None, None], fx[:, None, None])
+    f0_flat = f0.reshape(n, c).astype(jnp.float32) / jnp.sqrt(jnp.float32(c))
+
+    def chunk_fn(args):
+        y0c, x0c, fyc, fxc, f0c = args
+        idx, valid = _patch_index_and_mask(y0c, x0c, radius, h, w)
+        m = y0c.shape[0]
+        patch = jnp.take(f1_flat, idx.reshape(m * p * p), axis=0).reshape(m, p * p, c)
+        patch = patch * valid.reshape(m, p * p, 1).astype(patch.dtype)
+        dpatch = jnp.einsum(
+            "nkc,nc->nk",
+            patch.astype(jnp.float32),
+            f0c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(m, p, p)
+        return _combine_corners(dpatch, fyc[:, None, None], fxc[:, None, None])
+
+    if n <= pixel_chunk:
+        corr = chunk_fn((y0, x0, fy, fx, f0_flat))
+        return corr.reshape(h, w, (2 * radius + 1) ** 2)
+
+    pad = (-n) % pixel_chunk
+    def padded(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            -1, pixel_chunk, *a.shape[1:]
+        )
+    corr = jax.lax.map(
+        chunk_fn, (padded(y0), padded(x0), padded(fy), padded(fx), padded(f0_flat))
+    ).reshape(-1, (2 * radius + 1) ** 2)[:n]
     return corr.reshape(h, w, (2 * radius + 1) ** 2)
 
 

@@ -1,0 +1,20 @@
+from .checkpoint import CheckPoint
+from .gt_warp import get_gt_warp, warp_kpts
+from .losses import RobustLosses
+from .losses_tiny import TinyRobustLosses
+from .optim import make_optimizer, multistep_lr
+from .train import TrainState, init_train_state, make_train_step, train_k_steps
+
+__all__ = [
+    "CheckPoint",
+    "get_gt_warp",
+    "warp_kpts",
+    "RobustLosses",
+    "TinyRobustLosses",
+    "make_optimizer",
+    "multistep_lr",
+    "TrainState",
+    "init_train_state",
+    "make_train_step",
+    "train_k_steps",
+]

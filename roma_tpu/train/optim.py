@@ -1,0 +1,60 @@
+"""Optimizer recipe (reference experiments/train_roma_outdoor.py:194-251):
+AdamW wd=0.01 with per-group LRs (encoder vs decoder), MultiStepLR decay 0.2
+at 90% of training, global grad-norm clip 0.01.
+
+No GradScaler: bf16 has f32-range exponents, so the reference's fp16 loss
+scaling (train/train.py:27-35) has no TPU equivalent to port.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import optax
+
+
+def multistep_lr(base_lr: float, milestones: tuple[int, ...], gamma: float = 0.2):
+    """torch MultiStepLR schedule as an optax schedule."""
+
+    def schedule(step):
+        lr = jnp.asarray(base_lr, jnp.float32)
+        for m in milestones:
+            lr = jnp.where(step >= m, lr * gamma, lr)
+        return lr
+
+    return schedule
+
+
+def make_optimizer(
+    encoder_lr: float,
+    decoder_lr: float,
+    milestones: tuple[int, ...],
+    weight_decay: float = 0.01,
+    grad_clip: float = 0.01,
+    is_encoder: Callable | None = None,
+):
+    """Two-group AdamW + MultiStepLR + clip, as an optax transform.
+
+    ``is_encoder(path, leaf) -> bool`` classifies params; defaults to a
+    top-level "encoder" key (the RoMaNet layout).
+    """
+    if is_encoder is None:
+        def is_encoder(path, _leaf):
+            return any(getattr(k, "key", None) == "encoder" for k in path)
+
+    def adamw(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(multistep_lr(lr, milestones), weight_decay=weight_decay),
+        )
+
+    def label_fn(params):
+        import jax
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: "encoder" if is_encoder(path, leaf) else "decoder", params
+        )
+
+    return optax.multi_transform(
+        {"encoder": adamw(encoder_lr), "decoder": adamw(decoder_lr)}, label_fn
+    )

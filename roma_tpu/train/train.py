@@ -1,0 +1,116 @@
+"""Data-parallel training step + loop (reference romatch/train/train.py:23-64,
+experiments/train_roma_outdoor.py:169-251).
+
+TPU-native design: ONE jitted train step with sharding annotations — params
+and optimizer state replicated, batch sharded over the 1-D ``data`` mesh; XLA
+inserts the gradient all-reduce (the DDP/NCCL replacement). BatchNorm batch
+stats are updated locally and cross-replica averaged with the same implicit
+collectives (reference DDP does not sync BN either — it uses local stats).
+
+No GradScaler (bf16), grad clip handled inside the optax chain.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import replicate, shard_batch
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_train_step(
+    apply_fn: Callable,
+    objective: Callable,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+):
+    """Build the jitted train step.
+
+    ``apply_fn(variables, batch, train=True, rngs=...) -> (corresps, new_batch_stats)``
+    ``objective(corresps, batch) -> (loss, metrics)``
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        corresps, new_stats = apply_fn(
+            {"params": params, "batch_stats": batch_stats}, batch
+        )
+        loss, metrics = objective(corresps, batch)
+        return loss, (metrics, new_stats)
+
+    def step_fn(params, batch_stats, opt_state, batch):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, batch)
+        if mesh is not None:
+            # the DDP all-reduce: gradients (and metrics/BN stats) averaged
+            # over the data axis via ICI collectives
+            grads = jax.lax.pmean(grads, "data")
+            new_stats = jax.lax.pmean(new_stats, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            loss = jax.lax.pmean(loss, "data")
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, grad_norm=grad_norm, loss=loss)
+        return new_params, new_stats, new_opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    # shard_map: ONE per-device program (compile cost independent of mesh
+    # size) with explicit pmean collectives — the pmap-style DDP equivalent.
+    # GSPMD propagation over the full graph is much slower to compile and
+    # buys nothing for pure data parallelism.
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def train_k_steps(
+    state: TrainState,
+    batches,
+    train_step,
+    mesh: Mesh | None = None,
+    progress: Callable | None = None,
+):
+    """Run the step over an iterable of host batches (reference
+    train/train.py:40-64 without the tqdm/wandb coupling)."""
+    metrics = {}
+    for batch in batches:
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state.params, state.batch_stats, state.opt_state, metrics = train_step(
+            state.params, state.batch_stats, state.opt_state, batch
+        )
+        state.step += 1
+        if progress is not None:
+            progress(state.step, metrics)
+    return state, metrics
+
+
+def init_train_state(variables, optimizer, mesh: Mesh | None = None) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+        opt_state = replicate(opt_state, mesh)
+    return TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state)

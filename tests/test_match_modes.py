@@ -1,0 +1,88 @@
+"""Match-mode matrix — the functional API contract
+(reference tests/test_match_modes.py:32-75): {symmetric} x {upsample_preds}
+x {batched tensor bs1/bs2, PIL, path}, at a reduced resolution.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from roma_tpu.models.roma import RegressionMatcher
+
+H, W = 56, 56
+UP = (64, 64)
+
+
+@pytest.fixture(scope="module")
+def variables():
+    return RegressionMatcher.init_variables(res=H)
+
+
+@pytest.fixture(scope="module")
+def image_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for name in ("a", "b"):
+        arr = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+        p = d / f"{name}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    return paths
+
+
+def _model(variables, symmetric, upsample):
+    return RegressionMatcher(
+        variables, h=H, w=W, symmetric=symmetric, upsample_preds=upsample,
+        upsample_res=UP, attenuate_cert=True,
+    )
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+@pytest.mark.parametrize("upsample", [False, True])
+def test_match_modes_tensor(variables, symmetric, upsample):
+    model = _model(variables, symmetric, upsample)
+    rs = np.random.RandomState(1)
+    for bs in (1, 2):
+        im_A = rs.randn(bs, H, W, 3).astype(np.float32)
+        im_B = rs.randn(bs, H, W, 3).astype(np.float32)
+        warp, cert = model.match(im_A, im_B)
+        oh, ow = UP if upsample else (H, W)
+        expected_w = 2 * ow if symmetric else ow
+        assert warp.shape == (bs, oh, expected_w, 4)
+        assert cert.shape == (bs, oh, expected_w)
+        assert np.isfinite(np.asarray(warp)).all()
+        w_np = np.asarray(warp)
+        assert w_np.min() >= -1 - 1e-5 and w_np.max() <= 1 + 1e-5
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_match_modes_path_and_pil(variables, image_paths, symmetric):
+    model = _model(variables, symmetric, upsample=True)
+    warp, cert = model.match(image_paths[0], image_paths[1])
+    oh, ow = UP
+    expected_w = 2 * ow if symmetric else ow
+    assert warp.shape == (oh, expected_w, 4)
+
+    pil_A = Image.open(image_paths[0])
+    pil_B = Image.open(image_paths[1])
+    warp2, cert2 = model.match(pil_A, pil_B)
+    np.testing.assert_allclose(np.asarray(warp), np.asarray(warp2), atol=1e-5)
+
+
+def test_sample_and_pixel_coords(variables):
+    model = _model(variables, symmetric=True, upsample=False)
+    rs = np.random.RandomState(2)
+    warp, cert = model.match(
+        rs.randn(1, H, W, 3).astype(np.float32), rs.randn(1, H, W, 3).astype(np.float32)
+    )
+    matches, mc = model.sample(warp[0], cert[0], num=100)
+    assert matches.shape == (100, 4)
+    kA, kB = model.to_pixel_coordinates(matches, H, W, H, W)
+    assert (np.asarray(kA) >= 0).all() and (np.asarray(kA)[:, 0] <= W).all()
+    # round trip
+    nA, nB = model.to_normalized_coordinates(
+        np.concatenate([np.asarray(kA), np.asarray(kB)], -1), H, W, H, W
+    )
+    np.testing.assert_allclose(np.asarray(nA), np.asarray(matches)[:, :2], atol=1e-5)

@@ -1,0 +1,77 @@
+"""Native RANSAC library tests: recover a known synthetic pose / homography
+with outliers; cross-check against OpenCV when available."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from roma_tpu import native
+
+
+def _synthetic_pose(n=300, outlier_frac=0.3, seed=0):
+    rs = np.random.RandomState(seed)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    # random points in front of camera 1
+    X = np.stack(
+        [rs.uniform(-2, 2, n), rs.uniform(-1.5, 1.5, n), rs.uniform(4, 10, n)], -1
+    )
+    ang = 0.15
+    R = np.array(
+        [
+            [np.cos(ang), 0, np.sin(ang)],
+            [0, 1, 0],
+            [-np.sin(ang), 0, np.cos(ang)],
+        ]
+    )
+    t = np.array([0.5, 0.1, 0.05])
+    X2 = X @ R.T + t
+    p1 = (X / X[:, 2:]) @ K.T
+    p2 = (X2 / X2[:, 2:]) @ K.T
+    k1 = p1[:, :2] + rs.randn(n, 2) * 0.3
+    k2 = p2[:, :2] + rs.randn(n, 2) * 0.3
+    n_out = int(n * outlier_frac)
+    k2[:n_out] = rs.uniform(0, 640, (n_out, 2))
+    return k1, k2, K, R, t
+
+
+def test_estimate_relative_pose_recovers_synthetic():
+    if not native.available():
+        pytest.skip("native lib unavailable (no compiler)")
+    k1, k2, K, R_gt, t_gt = _synthetic_pose()
+    out = native.estimate_relative_pose(k1, k2, K, K, threshold=1.0)
+    assert out is not None
+    R, t, inl = out
+    # rotation error
+    cos = np.clip((np.trace(R_gt.T @ R) - 1) / 2, -1, 1)
+    rot_err = np.rad2deg(np.arccos(cos))
+    t_dir = t / np.linalg.norm(t)
+    t_gt_dir = t_gt / np.linalg.norm(t_gt)
+    t_err = np.rad2deg(np.arccos(np.clip(np.abs(t_dir @ t_gt_dir), -1, 1)))
+    assert rot_err < 2.0, rot_err
+    assert t_err < 5.0, t_err
+    assert inl.sum() > 150
+
+
+def test_estimate_homography_recovers_synthetic():
+    if not native.available():
+        pytest.skip("native lib unavailable (no compiler)")
+    rs = np.random.RandomState(1)
+    H_gt = np.array([[1.1, 0.05, 20], [-0.03, 0.95, -10], [1e-4, -5e-5, 1.0]])
+    n = 200
+    p1 = rs.uniform(0, 500, (n, 2))
+    p1h = np.concatenate([p1, np.ones((n, 1))], -1)
+    p2h = p1h @ H_gt.T
+    p2 = p2h[:, :2] / p2h[:, 2:]
+    p2 += rs.randn(n, 2) * 0.5
+    p2[:40] = rs.uniform(0, 500, (40, 2))  # outliers
+    out = native.estimate_homography(p1, p2, threshold=3.0)
+    assert out is not None
+    H, inl = out
+    # corner transfer error vs gt
+    corners = np.array([[0, 0, 1], [500, 0, 1], [0, 500, 1], [500, 500, 1.0]])
+    a = corners @ H_gt.T
+    b = corners @ H.T
+    a = a[:, :2] / a[:, 2:]
+    b = b[:, :2] / b[:, 2:]
+    assert np.abs(a - b).max() < 3.0
+    assert inl.sum() > 120

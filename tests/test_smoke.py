@@ -1,0 +1,35 @@
+"""Construction smoke tests (reference tests/smoke_test.py:1-11)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+import roma_tpu
+
+
+def test_roma_outdoor_constructs():
+    model = roma_tpu.roma_outdoor(coarse_res=56, upsample_res=64, amp=False)
+    assert model.h_resized == 56 and model.w_resized == 56
+    assert model.get_output_resolution() == (64, 64)
+    assert model.symmetric and model.upsample_preds
+
+
+def test_roma_outdoor_default_resolutions():
+    # don't init full-size weights here; just check the config plumbing
+    import inspect
+
+    from roma_tpu.models.zoo import roma_outdoor
+
+    sig = inspect.signature(roma_outdoor)
+    assert sig.parameters["coarse_res"].default == 560
+    assert sig.parameters["upsample_res"].default == 864
+
+
+def test_tiny_constructs():
+    model = roma_tpu.tiny_roma_v1_outdoor()
+    assert model.sample_thresh == 0.05
+    assert model.sample_mode == "threshold_balanced"
+
+
+def test_roma_indoor_constructs():
+    model = roma_tpu.roma_indoor(coarse_res=56, upsample_res=64, amp=False)
+    assert model.get_output_resolution() == (64, 64)
