@@ -40,8 +40,10 @@ def main():
         warp, cert = model.match(
             im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u
         )
-        jax.block_until_ready(cert)
-        return warp, cert
+        # NOTE: on the tunneled TPU platform block_until_ready returns before
+        # execution finishes; a scalar host readback is the only reliable
+        # completion barrier (costs one ~30ms round-trip per call).
+        return float(jnp.sum(cert))
 
     run()  # compile
     t0 = time.perf_counter()
