@@ -1,5 +1,6 @@
 from .hpatches import HpatchesHomogBenchmark
 from .mega1500 import MEGA_8_SCENES, MEGA_1500_SCENES, MegaDepthPoseEstimationBenchmark
+from .mega1500_native import Mega1500NativePoseBenchmark
 from .mega_dense import MegadepthDenseBenchmark
 from .pose import (
     compute_pose_error,
@@ -12,6 +13,7 @@ from .scannet import ScanNetBenchmark
 
 __all__ = [
     "HpatchesHomogBenchmark",
+    "Mega1500NativePoseBenchmark",
     "MEGA_8_SCENES",
     "MEGA_1500_SCENES",
     "MegaDepthPoseEstimationBenchmark",

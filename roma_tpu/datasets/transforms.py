@@ -72,6 +72,51 @@ def horizontal_flip_pair(im_A, im_B, depth_A, depth_B, K_A, K_B, wt: int):
     )
 
 
+def random_perspective_matrix(
+    rng: np.random.RandomState, h: int, w: int, distortion: float = 0.2
+) -> np.ndarray:
+    """Random perspective homography (the kornia RandomPerspective equivalent
+    used by GeometricSequential, reference utils/transforms.py:8-60)."""
+    d = distortion
+    src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    jitter = rng.uniform(-d, d, (4, 2)).astype(np.float32) * [w, h]
+    dst = src + jitter
+    # DLT for the 4-point homography
+    A = []
+    for (x, y), (u, v) in zip(src, dst):
+        A.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        A.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+    _, _, vt = np.linalg.svd(np.asarray(A, np.float64))
+    H = vt[-1].reshape(3, 3)
+    return (H / H[2, 2]).astype(np.float32)
+
+
+def warp_perspective(x: np.ndarray, H: np.ndarray, fill: float = 0.0) -> np.ndarray:
+    """Inverse-warp an HWC/HW array by homography H (bilinear, zeros fill)."""
+    h, w = x.shape[:2]
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
+                         indexing="ij")
+    ones = np.ones_like(xs)
+    pts = np.stack([xs, ys, ones], -1) @ np.linalg.inv(H).T.astype(np.float32)
+    sx = pts[..., 0] / pts[..., 2]
+    sy = pts[..., 1] / pts[..., 2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0)[..., None] if x.ndim == 3 else sx - x0
+    fy = (sy - y0)[..., None] if x.ndim == 3 else sy - y0
+    out = np.zeros_like(x, dtype=np.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yy = y0 + dy
+            xx = x0 + dx
+            valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            wgt = (fy if dy else 1 - fy) * (fx if dx else 1 - fx)
+            vals = x[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+            mask = valid[..., None] if x.ndim == 3 else valid
+            out += np.where(mask, vals * wgt, fill)
+    return out.astype(x.dtype)
+
+
 class RandomErasing:
     """Joint image+depth random erasing (reference utils/transforms.py:70-118)."""
 

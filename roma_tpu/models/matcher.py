@@ -172,10 +172,17 @@ class RefinerBlock(nn.Module):
 class ScannedRefinerBlocks(nn.Module):
     """The 8 identical hidden blocks under nn.scan (own submodule so the scan
     target scope contains only the scanned block — sibling params must not be
-    lifted)."""
+    lifted).
+
+    ``unroll=True`` (inference default) unrolls the scan body while keeping
+    the depth-stacked weight layout: the scan's per-iteration carry forces an
+    HBM layout round-trip on TPU (~90ms/refiner at 864^2); unrolled, XLA keeps
+    one layout across blocks. Training keeps the rolled scan for compile time.
+    """
 
     length: int
     block_kwargs: dict
+    unroll: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -187,6 +194,7 @@ class ScannedRefinerBlocks(nn.Module):
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             length=self.length,
+            unroll=self.length if self.unroll else 1,
         )
         x, _ = scan(self, x, None)
         return x
@@ -228,7 +236,8 @@ class ConvRefiner(nn.Module):
         )
         d = RefinerBlock(**blk, name="block1")(d)
         d = ScannedRefinerBlocks(
-            length=s.hidden_blocks, block_kwargs=blk, name="hidden"
+            length=s.hidden_blocks, block_kwargs=blk, unroll=not self.train,
+            name="hidden",
         )(d)
         out = torch_conv(3, kernel=1, padding=0, name="out_conv")(d.astype(jnp.float32))
         return out[..., :2], out[..., 2:]

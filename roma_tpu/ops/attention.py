@@ -20,7 +20,7 @@ def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    q_chunk: int | None = 512,
+    q_chunk: int | None = None,
 ) -> jnp.ndarray:
     """q, k, v: (B, H, N, D) -> (B, H, N, D). No masking (none needed here)."""
     b, h, n, d = q.shape

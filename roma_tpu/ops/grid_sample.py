@@ -22,6 +22,7 @@ Used everywhere the reference calls F.grid_sample: warp lookup
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 PACK_MAX_C = 128
@@ -113,10 +114,22 @@ def _bilinear_packed(x: jnp.ndarray, y0, x0, fy, fx) -> jnp.ndarray:
     b, h, w, c = x.shape
     n = y0.shape[1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    packed = jnp.concatenate(
-        (xp[:, :-1, :-1], xp[:, :-1, 1:], xp[:, 1:, :-1], xp[:, 1:, 1:]), axis=-1
-    )  # (B, H+1, W+1, 4C): row (i, j) = corners of padded base (i-1, j-1)
-    packed = packed.reshape(b * (h + 1) * (w + 1), 4 * c)
+    corners = (xp[:, :-1, :-1], xp[:, :-1, 1:], xp[:, 1:, :-1], xp[:, 1:, 1:])
+    # XLA:TPU gather throughput craters for non-power-of-two row widths > 32
+    # (36-wide rows run ~4x slower than 64-wide). Plain zero-padding on the
+    # right gets stripped by XLA's gather-operand compaction (it slices the
+    # table back to the used column prefix), so the pad goes BETWEEN the last
+    # two corner groups: used columns then span [0, P) and cannot be narrowed.
+    width = 4 * c
+    pad_mid = 0
+    if width > 32 and (width & (width - 1)) != 0:
+        pad_mid = (1 << (width - 1).bit_length()) - width
+    if pad_mid:
+        zeros = jnp.zeros(xp[:, :-1, :-1].shape[:-1] + (pad_mid,), x.dtype)
+        packed = jnp.concatenate(corners[:3] + (zeros, corners[3]), axis=-1)
+    else:
+        packed = jnp.concatenate(corners, axis=-1)
+    packed = packed.reshape(b * (h + 1) * (w + 1), 4 * c + pad_mid)
 
     v00 = ((y0 >= 0) & (y0 < h) & (x0 >= 0) & (x0 < w))[..., None]
     v01 = ((y0 >= 0) & (y0 < h) & (x0 + 1 >= 0) & (x0 + 1 < w))[..., None]
@@ -127,17 +140,15 @@ def _bilinear_packed(x: jnp.ndarray, y0, x0, fy, fx) -> jnp.ndarray:
     xc = jnp.clip(x0, -1, w - 1) + 1
     base = (jnp.arange(b, dtype=jnp.int32) * ((h + 1) * (w + 1)))[:, None]
     idx = base + yc * (w + 1) + xc
-    rows = jnp.take(packed, idx.reshape(-1), axis=0).reshape(b, n, 4, c)
-    rows = rows.astype(jnp.float32)
+    rows = jnp.take(packed, idx.reshape(-1), axis=0)
+    r00 = rows[:, 0 * c : 1 * c].reshape(b, n, c).astype(jnp.float32)
+    r01 = rows[:, 1 * c : 2 * c].reshape(b, n, c).astype(jnp.float32)
+    r10 = rows[:, 2 * c : 3 * c].reshape(b, n, c).astype(jnp.float32)
+    r11 = rows[:, 3 * c + pad_mid :].reshape(b, n, c).astype(jnp.float32)
 
     w00 = (1 - fy) * (1 - fx) * v00
     w01 = (1 - fy) * fx * v01
     w10 = fy * (1 - fx) * v10
     w11 = fy * fx * v11
-    out = (
-        rows[:, :, 0] * w00
-        + rows[:, :, 1] * w01
-        + rows[:, :, 2] * w10
-        + rows[:, :, 3] * w11
-    )
+    out = r00 * w00 + r01 * w01 + r10 * w10 + r11 * w11
     return out.astype(x.dtype)
