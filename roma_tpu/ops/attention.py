@@ -16,14 +16,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     q_chunk: int | None = None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """q, k, v: (B, H, N, D) -> (B, H, N, D). No masking (none needed here)."""
+    """q, k, v: (B, H, N, D) -> (B, H, N, D). No masking (none needed here).
+
+    On TPU, dispatches to the Pallas fused kernel (ops/pallas_attention.py)
+    that keeps the logits in VMEM; the einsum path is the CPU/testing
+    fallback and the reference semantics.
+    """
     b, h, n, d = q.shape
+    if use_pallas is None:
+        use_pallas = _on_tpu() and d % 64 == 0
+    if use_pallas:
+        from .pallas_attention import fused_attention
+
+        return fused_attention(q, k, v)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
 
     def attend(qb):

@@ -1,0 +1,75 @@
+"""Pallas fused attention for the ViT paths.
+
+Replaces the XLA einsum-softmax attention for DINOv2/TransformerDecoder on
+TPU: at RoMa's sequence lengths (~1.6k tokens) the (B, H, N, N) f32 logits
+are pure HBM traffic (~2.6GB per ViT-L block at batch 16). This kernel keeps
+each query block's logits in VMEM — K/V for one batch-head fit comfortably —
+so HBM sees only Q/K/V/O.
+
+Not a streaming flash-attention: N is small enough that the full (BLOCK_Q, N)
+logit tile lives in VMEM, which is simpler and just as fast here. No masking
+beyond the sequence-padding mask (RoMa attention is always dense/unmasked —
+reference transformer/layers/attention.py:50-63).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 256
+
+
+def _attn_kernel(n_valid: int, scale: float, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (Npad, D)
+    v = v_ref[0]                      # (Npad, D)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, Npad)
+    npad = logits.shape[-1]
+    if npad != n_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def fused_attention(q, k, v, block_q: int = BLOCK_Q):
+    """q, k, v: (B, H, N, D) -> (B, H, N, D); softmax in f32 on-chip."""
+    b, h, n, d = q.shape
+    scale = 1.0 / (d**0.5)
+    npad = -(-n // block_q) * block_q
+    kpad = -(-n // 128) * 128
+
+    def prep(x, target):
+        x = x.reshape(b * h, n, d)
+        if target != n:
+            x = jnp.pad(x, ((0, 0), (0, target - n), (0, 0)))
+        return x
+
+    qp = prep(q, npad)
+    kp = prep(k, kpad)
+    vp = prep(v, kpad)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, n, scale),
+        grid=(b * h, npad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, npad, d), q.dtype),
+    )(qp, kp, vp)
+    return out[:, :n].reshape(b, h, n, d)

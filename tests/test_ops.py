@@ -234,3 +234,17 @@ def test_normalized_grid_convention():
     assert g.shape == (4, 8, 2)
     np.testing.assert_allclose(g[0, 0], [-1 + 1 / 8, -1 + 1 / 4], atol=1e-7)
     np.testing.assert_allclose(g[-1, -1], [1 - 1 / 8, 1 - 1 / 4], atol=1e-7)
+
+
+def test_pallas_attention_interpret_matches_einsum():
+    """Pallas fused attention vs the einsum reference (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from roma_tpu.ops.pallas_attention import fused_attention
+
+    b, h, n, d = 2, 4, 200, 64
+    q, k, v = _rand(b, h, n, d), _rand(b, h, n, d), _rand(b, h, n, d)
+    ref = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
