@@ -5,6 +5,14 @@ for TPUs: NHWC layouts, static-shape jitted match pipelines, MXU-friendly
 correlation/GP matmuls, Pallas kernels for the windowed local correlation,
 and jax.sharding data parallelism for training and benchmark sweeps.
 """
+from .models.roma import RegressionMatcher
+from .models.tiny import TinyRoMa
 from .models.zoo import roma_indoor, roma_outdoor, tiny_roma_v1_outdoor
 
-__all__ = ["roma_indoor", "roma_outdoor", "tiny_roma_v1_outdoor"]
+__all__ = [
+    "RegressionMatcher",
+    "TinyRoMa",
+    "roma_indoor",
+    "roma_outdoor",
+    "tiny_roma_v1_outdoor",
+]
