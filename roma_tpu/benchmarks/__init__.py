@@ -8,6 +8,8 @@ from .pose import (
     estimate_pose,
     estimate_pose_uncalibrated,
     pose_auc,
+    signed_left_to_right_epipolar_distance,
+    signed_point_line_distance,
 )
 from .scannet import ScanNetBenchmark
 

@@ -105,6 +105,27 @@ def rotate_intrinsic(K, n):
     return np.linalg.matrix_power(base_rot, n) @ K
 
 
+def signed_point_line_distance(point, line, eps: float = 1e-9):
+    """Signed distance from 2D points to lines ax+by+c=0
+    (reference utils.py:575-597)."""
+    point = np.asarray(point)
+    line = np.asarray(line)
+    numerator = line[..., 0] * point[..., 0] + line[..., 1] * point[..., 1] + line[..., 2]
+    denominator = np.linalg.norm(line[..., :2], axis=-1)
+    return numerator / (denominator + eps)
+
+
+def signed_left_to_right_epipolar_distance(pts1, pts2, Fm):
+    """Distance from right-image points to epilines of left-image points
+    (reference utils.py:600-625)."""
+    pts1 = np.asarray(pts1)
+    pts2 = np.asarray(pts2)
+    if pts1.shape[-1] == 2:
+        pts1 = np.concatenate([pts1, np.ones_like(pts1[..., :1])], axis=-1)
+    line1_in_2 = pts1 @ np.swapaxes(Fm, -2, -1)
+    return signed_point_line_distance(pts2, line1_in_2)
+
+
 def rotate_pose_inplane(i_T_w, rot):
     rotation_matrices = [
         np.array(

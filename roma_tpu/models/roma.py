@@ -169,6 +169,12 @@ class RegressionMatcher:
             if unbatch:
                 im_A, im_B = im_A[None], im_B[None]
             assert im_A.shape == im_B.shape, "batched images must share a size"
+            assert im_A.shape[-1] == 3, "array inputs must be NHWC RGB"
+            # reference matcher.py:544-545: coarse input must divide the
+            # DINOv2 patch size
+            assert im_A.shape[1] % 14 == 0 and im_A.shape[2] % 14 == 0, (
+                "array inputs must have H, W divisible by 14"
+            )
         unbatch = unbatch or not batched
 
         out_hw = self.get_output_resolution()

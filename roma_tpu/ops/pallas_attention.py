@@ -41,9 +41,44 @@ def _attn_kernel(n_valid: int, scale: float, q_ref, k_ref, v_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+@jax.custom_vjp
+def fused_attention(q, k, v):
+    """q, k, v: (B, H, N, D) -> (B, H, N, D); softmax in f32 on-chip.
+
+    Differentiable: the backward pass recomputes the attention weights with
+    plain XLA einsums (standard memory-efficient recompute backward) — the
+    Pallas kernel is forward-only.
+    """
+    return _fused_attention_fwd_impl(q, k, v)
+
+
+def _fused_attention_fwd(q, k, v):
+    return _fused_attention_fwd_impl(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(res, do):
+    q, k, v = res
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q",))
-def fused_attention(q, k, v, block_q: int = BLOCK_Q):
-    """q, k, v: (B, H, N, D) -> (B, H, N, D); softmax in f32 on-chip."""
+def _fused_attention_fwd_impl(q, k, v, block_q: int = BLOCK_Q):
     b, h, n, d = q.shape
     scale = 1.0 / (d**0.5)
     npad = -(-n // block_q) * block_q

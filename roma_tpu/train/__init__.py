@@ -2,8 +2,15 @@ from .checkpoint import CheckPoint
 from .gt_warp import get_gt_warp, warp_kpts
 from .losses import RobustLosses
 from .losses_tiny import TinyRobustLosses
-from .optim import make_optimizer, multistep_lr
-from .train import TrainState, init_train_state, make_train_step, train_k_steps
+from .optim import ema_params, make_optimizer, multistep_lr
+from .train import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+    train_epoch,
+    train_k_epochs,
+    train_k_steps,
+)
 
 __all__ = [
     "CheckPoint",
@@ -11,10 +18,13 @@ __all__ = [
     "warp_kpts",
     "RobustLosses",
     "TinyRobustLosses",
+    "ema_params",
     "make_optimizer",
     "multistep_lr",
     "TrainState",
     "init_train_state",
     "make_train_step",
+    "train_epoch",
+    "train_k_epochs",
     "train_k_steps",
 ]

@@ -13,16 +13,42 @@ import jax.numpy as jnp
 import optax
 
 
-def multistep_lr(base_lr: float, milestones: tuple[int, ...], gamma: float = 0.2):
-    """torch MultiStepLR schedule as an optax schedule."""
+def multistep_lr(
+    base_lr: float,
+    milestones: tuple[int, ...],
+    gamma: float = 0.2,
+    warmup_steps: int = 0,
+):
+    """torch MultiStepLR schedule (+ optional linear warmup — the reference's
+    warmup-dampened LR step, train/train.py:50-55) as an optax schedule."""
 
     def schedule(step):
         lr = jnp.asarray(base_lr, jnp.float32)
         for m in milestones:
             lr = jnp.where(step >= m, lr * gamma, lr)
+        if warmup_steps > 0:
+            lr = lr * jnp.minimum(1.0, (step + 1) / warmup_steps)
         return lr
 
     return schedule
+
+
+def ema_params(decay: float = 0.999):
+    """Exponential moving average of params (the reference's optional
+    ema_model, train/train.py:47-49) as a standalone optax-style transform:
+    ``ema_state = update_ema(ema_state, params)``."""
+
+    def init(params):
+        import jax
+
+        return jax.tree.map(lambda p: p, params)
+
+    def update(ema, params):
+        import jax
+
+        return jax.tree.map(lambda e, p: decay * e + (1 - decay) * p, ema, params)
+
+    return init, update
 
 
 def make_optimizer(

@@ -105,6 +105,20 @@ def train_k_steps(
     return state, metrics
 
 
+def train_epoch(state: TrainState, loader, train_step, mesh: Mesh | None = None):
+    """One full pass over a loader (reference train/train.py:67-84 legacy)."""
+    return train_k_steps(state, loader, train_step, mesh=mesh)
+
+
+def train_k_epochs(state: TrainState, make_loader, train_step, k: int,
+                   mesh: Mesh | None = None):
+    """k epochs over freshly constructed loaders (reference train.py:87-102)."""
+    metrics = {}
+    for _ in range(k):
+        state, metrics = train_epoch(state, make_loader(), train_step, mesh=mesh)
+    return state, metrics
+
+
 def init_train_state(variables, optimizer, mesh: Mesh | None = None) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

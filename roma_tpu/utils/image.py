@@ -39,6 +39,27 @@ def imagenet_normalize(x: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def check_not_i16(im: Image.Image):
+    """Reject 16-bit integer images (reference utils check_not_i16)."""
+    if im.mode == "I;16":
+        raise ValueError("Input images should not be 16-bit (mode I;16)")
+
+
+def check_rgb(im: Image.Image):
+    if im.mode != "RGB":
+        raise ValueError(f"Expected an RGB image, got mode {im.mode}")
+
+
+def to_pil(x: np.ndarray, unnormalize: bool = False) -> Image.Image:
+    """float HWC array (optionally ImageNet-normalized) -> PIL image
+    (reference tensor_to_pil/numpy_to_pil, utils.py:460-480)."""
+    x = np.asarray(x, np.float32)
+    if unnormalize:
+        x = x * IMAGENET_STD + IMAGENET_MEAN
+    x = np.clip(x, 0.0, 1.0)
+    return Image.fromarray((x * 255).astype(np.uint8))
+
+
 def prepare(im, size_hw: tuple[int, int] | None = None, normalize: bool = True):
     """Full host preprocess: load -> (resize) -> [0,1] float -> (normalize).
 

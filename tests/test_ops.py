@@ -248,3 +248,25 @@ def test_pallas_attention_interpret_matches_einsum():
     with pltpu.force_tpu_interpret_mode():
         out = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_pallas_attention_grad_matches_einsum():
+    """Custom VJP (recompute backward) vs autodiff through the einsum path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from roma_tpu.ops.pallas_attention import fused_attention
+
+    b, h, n, d = 1, 2, 64, 64
+    q = jnp.asarray(_rand(b, h, n, d))
+    k = jnp.asarray(_rand(b, h, n, d))
+    v = jnp.asarray(_rand(b, h, n, d))
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(
+            lambda q, k, v: fused_attention(q, k, v).sum(), argnums=(0, 1, 2)
+        )(q, k, v)
+    rq, rk, rv = jax.grad(
+        lambda q, k, v: sdpa(q, k, v, use_pallas=False).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
