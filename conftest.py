@@ -9,9 +9,43 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_llvm_disable_expensive_passes" not in _flags:
+    # tests are compile-bound on this 1-core host; skip expensive LLVM opts
+    _flags = (_flags + " --xla_llvm_disable_expensive_passes").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# ---------------------------------------------------------------------------
+# Test tiers: the default run is the fast tier (structural/tiny-config tests,
+# op-level parity — completes in a few minutes on this 1-core box). Full-dim
+# parity tests compile the ViT-L graph on XLA:CPU (minutes per program) and
+# are opt-in: `pytest --runslow` (or ROMA_RUN_SLOW=1).
+# ---------------------------------------------------------------------------
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run slow full-dimension parity tests",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-dim tests, opt-in via --runslow / ROMA_RUN_SLOW=1"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("ROMA_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

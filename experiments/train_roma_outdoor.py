@@ -92,6 +92,7 @@ def run(args):
         decoder_lr=step_size * 1e-4 / 8,
         milestones=(int(0.9 * n_steps),),
         grad_clip=0.01,
+        warmup_steps=args.warmup_steps,
     )
 
     def apply_fn(v, batch):
@@ -120,6 +121,8 @@ def run(args):
         )
         state, metrics = train_k_steps(
             state, loader, train_step, mesh=mesh,
+            ema_decay=args.ema_decay if args.ema_decay > 0 else None,
+            warn_nonfinite=args.warn_nonfinite,
             progress=lambda s, m: print(
                 f"step {s}: loss={float(m['loss']):.4f} grad_norm={float(m['grad_norm']):.4f}"
             )
@@ -151,4 +154,11 @@ if __name__ == "__main__":
     parser.add_argument("--skip_eval", action="store_true")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--distributed", action="store_true")
+    # reference train_k_steps optional extras (train/train.py:42,59-63)
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="EMA of params; 0 disables (ref ema_model)")
+    parser.add_argument("--warmup_steps", type=int, default=0,
+                        help="linear LR warmup steps (ref warmup.dampening())")
+    parser.add_argument("--warn_nonfinite", action="store_true",
+                        help="print param names with nan/inf grads each step")
     run(parser.parse_args())

@@ -29,6 +29,9 @@ class MegadepthScene:
         scene_name=None,
         use_horizontal_flip_aug=False,
         random_eraser: T.RandomErasing | None = None,
+        colorjiggle: T.ColorJiggle | None = None,
+        use_randaug=False,
+        randaug_params: dict | None = None,
         randomize_size=False,
         rank: int = 0,
         seed: int = 0,
@@ -64,6 +67,9 @@ class MegadepthScene:
         self.shake_t = shake_t
         self.use_horizontal_flip_aug = use_horizontal_flip_aug
         self.random_eraser = random_eraser
+        self.colorjiggle = colorjiggle
+        self.use_randaug = use_randaug
+        self.randaug_params = randaug_params or {}
 
     def __len__(self):
         return len(self.pairs)
@@ -93,8 +99,17 @@ class MegadepthScene:
         K1 = self._scale_K(self.intrinsics[idx1], pil_A.width, pil_A.height)
         K2 = self._scale_K(self.intrinsics[idx2], pil_B.width, pil_B.height)
 
+        if self.use_randaug:
+            # reference hook point megadepth.py:133-134
+            pil_A, pil_B = T.rand_augment_pair(self.rng, pil_A, pil_B, **self.randaug_params)
+
         im_A = T.resize_image(pil_A, self.ht, self.wt)
         im_B = T.resize_image(pil_B, self.ht, self.wt)
+        if self.colorjiggle is not None:
+            # pre-normalize, matching the transform-pipeline position the
+            # reference intended (utils.py:164-173)
+            im_A = self.colorjiggle(self.rng, im_A)
+            im_B = self.colorjiggle(self.rng, im_B)
         depth_A = T.resize_depth(
             self._load_depth(os.path.join(self.data_root, self.depth_paths[idx1])),
             self.ht, self.wt,

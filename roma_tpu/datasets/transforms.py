@@ -141,3 +141,73 @@ class RandomErasing:
         image[y : y + eh, x : x + ew] = 0
         depth[y : y + eh, x : x + ew] = 0
         return image, depth
+
+
+class ColorJiggle:
+    """Photometric color jitter on float HWC [0,1] images (the reference's
+    ``colorjiggle_params`` flag — accepted by megadepth.py:29,61 but silently
+    dropped by get_tuple_transform_ops (utils.py:164-173); implemented for
+    real here with kornia.ColorJiggle semantics: per-sample uniform
+    brightness/contrast/saturation factors and additive hue shift)."""
+
+    def __init__(self, brightness=0.2, contrast=0.2, saturation=0.2, hue=0.05, p=1.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.p = p
+
+    def __call__(self, rng: np.random.RandomState, image: np.ndarray) -> np.ndarray:
+        if rng.rand() > self.p:
+            return image
+        x = image.astype(np.float32)
+        if self.brightness:
+            x = x * rng.uniform(1 - self.brightness, 1 + self.brightness)
+        if self.contrast:
+            mean = x.mean()
+            x = mean + (x - mean) * rng.uniform(1 - self.contrast, 1 + self.contrast)
+        if self.saturation:
+            gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+            f = rng.uniform(1 - self.saturation, 1 + self.saturation)
+            x = gray[..., None] + (x - gray[..., None]) * f
+        if self.hue:
+            # additive hue rotation via the YIQ approximation
+            theta = rng.uniform(-self.hue, self.hue) * 2 * np.pi
+            u, w2 = np.cos(theta), np.sin(theta)
+            t_yiq = np.array(
+                [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]],
+                np.float32,
+            )
+            t_rgb = np.linalg.inv(t_yiq).astype(np.float32)
+            rot = np.array([[1, 0, 0], [0, u, -w2], [0, w2, u]], np.float32)
+            x = x @ (t_rgb @ rot @ t_yiq).T
+        return np.clip(x, 0.0, 1.0)
+
+
+def rand_augment_pair(rng: np.random.RandomState, pil_A, pil_B, num_ops: int = 2,
+                      magnitude: float = 0.3):
+    """Photometric RandAugment applied identically to both PIL images (the
+    reference's ``use_randaug`` flag, megadepth.py:73,133-134 — its
+    ``rand_augment`` method was never committed upstream; this is a working
+    equivalent restricted to geometry-preserving ops so the GT warp stays
+    valid)."""
+    from PIL import ImageEnhance, ImageOps
+
+    ops = [
+        lambda im, f: ImageOps.autocontrast(im),
+        lambda im, f: ImageOps.equalize(im),
+        lambda im, f: ImageOps.posterize(im, max(1, int(8 - 4 * abs(f - 1)))),
+        lambda im, f: ImageOps.solarize(im, int(255 * (1 - abs(f - 1)))),
+        lambda im, f: ImageEnhance.Color(im).enhance(f),
+        lambda im, f: ImageEnhance.Contrast(im).enhance(f),
+        lambda im, f: ImageEnhance.Brightness(im).enhance(f),
+        lambda im, f: ImageEnhance.Sharpness(im).enhance(f),
+    ]
+    pil_A, pil_B = pil_A.convert("RGB"), pil_B.convert("RGB")
+    for i in rng.choice(len(ops), size=num_ops, replace=False):
+        op = ops[int(i)]
+        # one factor draw per op — applied identically to both images
+        f = 1 + magnitude * (rng.rand() * 2 - 1)
+        pil_A = op(pil_A, f)
+        pil_B = op(pil_B, f)
+    return pil_A, pil_B

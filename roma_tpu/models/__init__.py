@@ -1,4 +1,5 @@
+from .config import RoMaConfig
 from .tiny import TinyRoMa, TinyRoMaNet
 from .xfeat import XFeatBackbone
 
-__all__ = ["TinyRoMa", "TinyRoMaNet", "XFeatBackbone"]
+__all__ = ["RoMaConfig", "TinyRoMa", "TinyRoMaNet", "XFeatBackbone"]

@@ -20,17 +20,22 @@ import jax
 import jax.numpy as jnp
 
 from .blocks import torch_bn, torch_conv
+from .config import RoMaConfig
 from .vit import DinoV2
 
 Dtype = Any
 
-# torchvision vgg19_bn configuration "E" conv plan for features[:40]:
-# (torchvision layer index of the conv, out_channels); "M" = MaxPool boundary.
+# torchvision vgg19_bn configuration "E" layer indices of the convs in
+# features[:40], grouped per pyramid stage ("M" = MaxPool boundary); channel
+# counts come from RoMaConfig.vgg_channels.
+VGG19_STAGE_IDX = ((0, 3), (7, 10), (14, 17, 20, 23), (27, 30, 33, 36))
+
+# Full-size plan in (torchvision conv index, out_channels) / "M" form, used by
+# the weight converter (zoo/convert.py) and parity tests.
 VGG19_PLAN = [
-    (0, 64), (3, 64), "M",
-    (7, 128), (10, 128), "M",
-    (14, 256), (17, 256), (20, 256), (23, 256), "M",
-    (27, 512), (30, 512), (33, 512), (36, 512), "M",
+    entry
+    for idxs, chans in zip(VGG19_STAGE_IDX, RoMaConfig().vgg_channels)
+    for entry in [*zip(idxs, chans), "M"]
 ]
 
 
@@ -41,6 +46,7 @@ class VGG19(nn.Module):
     weight converter is a mechanical rename (conv{i} / bn{i+1}).
     """
 
+    channels: tuple[tuple[int, ...], ...] = RoMaConfig().vgg_channels
     dtype: Dtype = jnp.float32
     train: bool = False
 
@@ -48,16 +54,14 @@ class VGG19(nn.Module):
     def __call__(self, x: jnp.ndarray) -> dict[int, jnp.ndarray]:
         feats: dict[int, jnp.ndarray] = {}
         scale = 1
-        for item in VGG19_PLAN:
-            if item == "M":
-                feats[scale] = x
-                scale *= 2
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
-                continue
-            idx, ch = item
-            x = torch_conv(ch, kernel=3, padding=1, dtype=self.dtype, name=f"conv{idx}")(x)
-            x = torch_bn(affine=True, train=self.train, dtype=self.dtype, name=f"bn{idx + 1}")(x)
-            x = nn.relu(x)
+        for idxs, chans in zip(VGG19_STAGE_IDX, self.channels):
+            for idx, ch in zip(idxs, chans):
+                x = torch_conv(ch, kernel=3, padding=1, dtype=self.dtype, name=f"conv{idx}")(x)
+                x = torch_bn(affine=True, train=self.train, dtype=self.dtype, name=f"bn{idx + 1}")(x)
+                x = nn.relu(x)
+            feats[scale] = x
+            scale *= 2
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return feats
 
 
@@ -65,15 +69,26 @@ class CNNandDinov2(nn.Module):
     """VGG pyramid + frozen DINOv2 stride-14 tokens under key 16
     (reference encoders.py:29-68)."""
 
+    config: RoMaConfig = RoMaConfig()
     dtype: Dtype = jnp.float32
     coarse_dtype: Dtype = jnp.float32  # reference runs DINOv2 in fp16 (amp_dtype)
     train: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, upsample: bool = False):
-        pyramid = VGG19(dtype=self.dtype, train=self.train, name="vgg")(x)
+        cfg = self.config
+        pyramid = VGG19(
+            channels=cfg.vgg_channels, dtype=self.dtype, train=self.train, name="vgg"
+        )(x)
         if not upsample:
-            dinov2 = DinoV2(dtype=self.coarse_dtype, name="dinov2")
+            dinov2 = DinoV2(
+                embed_dim=cfg.dino_dim,
+                depth=cfg.dino_depth,
+                num_heads=cfg.dino_heads,
+                patch_size=cfg.dino_patch,
+                dtype=self.coarse_dtype,
+                name="dinov2",
+            )
             feats16 = dinov2(x.astype(self.coarse_dtype))
             pyramid[16] = jax.lax.stop_gradient(feats16)  # frozen (dinov2.py:154-155)
         return pyramid

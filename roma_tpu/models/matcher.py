@@ -19,7 +19,6 @@ bf16 on TPU; GP solve and out_conv stay f32 (matcher.py:177, 296).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import flax.linen as nn
@@ -34,6 +33,7 @@ from ..ops import (
     normalized_grid,
 )
 from .blocks import torch_bn, torch_conv
+from .config import RefinerSpec, RoMaConfig
 from .encoders import CNNandDinov2
 from .vit import ScannedBlocks
 
@@ -128,16 +128,6 @@ class TransformerDecoder(nn.Module):
 # ---------------------------------------------------------------------------
 # ConvRefiner
 # ---------------------------------------------------------------------------
-
-
-@dataclasses.dataclass(frozen=True)
-class RefinerSpec:
-    in_dim: int
-    hidden_dim: int
-    disp_emb_dim: int
-    local_corr_radius: int | None = None
-    kernel_size: int = 5
-    hidden_blocks: int = 8
 
 
 class RefinerBlock(nn.Module):
@@ -247,41 +237,45 @@ class ConvRefiner(nn.Module):
 # Decoder (coarse-to-fine orchestrator)
 # ---------------------------------------------------------------------------
 
-REFINER_SPECS = {
-    16: RefinerSpec(2 * 512 + 128 + 15**2, 2 * 512 + 128 + 15**2, 128, 7),
-    8: RefinerSpec(2 * 512 + 64 + 7**2, 2 * 512 + 64 + 7**2, 64, 3),
-    4: RefinerSpec(2 * 256 + 32 + 5**2, 2 * 256 + 32 + 5**2, 32, 2),
-    2: RefinerSpec(2 * 64 + 16, 128 + 16, 16, None),
-    1: RefinerSpec(2 * 9 + 6, 24, 6, None),
-}
-
-PROJ_SPECS = {16: (1024, 512), 8: (512, 512), 4: (256, 256), 2: (128, 64), 1: (64, 9)}
+# Released-model specs (= RoMaConfig() defaults), kept as module constants for
+# external use; Decoder derives its own from its config.
+REFINER_SPECS = RoMaConfig().refiner_specs()
+PROJ_SPECS = RoMaConfig().proj_specs()
 
 
 class Decoder(nn.Module):
     """Scale loop (reference matcher.py:326-527). ``upsample=True`` runs
     scales [8,4,2,1] seeded with the previous pass's finest flow/certainty."""
 
+    config: RoMaConfig = RoMaConfig()
     dtype: Dtype = jnp.float32
     train_mode: bool = False
     detach: bool = True
     refine_init: int = 4
 
     def setup(self):
-        self.embedding_decoder = TransformerDecoder(dtype=self.dtype, name="embedding_decoder")
-        self.gp16 = GP(name="gp16")
+        cfg = self.config
+        self.embedding_decoder = TransformerDecoder(
+            depth=cfg.decoder_depth,
+            dim=cfg.decoder_dim,
+            num_heads=cfg.decoder_heads,
+            out_dim=cfg.cls_res**2 + 1,
+            dtype=self.dtype,
+            name="embedding_decoder",
+        )
+        self.gp16 = GP(gp_dim=cfg.gp_dim, name="gp16")
         self._projs = {
             s: (
                 torch_conv(out, kernel=1, padding=0, dtype=self.dtype, name=f"proj{s}_conv"),
                 torch_bn(affine=True, train=self.train_mode, dtype=self.dtype, name=f"proj{s}_bn"),
             )
-            for s, (_, out) in PROJ_SPECS.items()
+            for s, (_, out) in cfg.proj_specs().items()
         }
         self._refiners = {
             s: ConvRefiner(
                 spec, dtype=self.dtype, train=self.train_mode, name=f"refiner{s}"
             )
-            for s, spec in REFINER_SPECS.items()
+            for s, spec in cfg.refiner_specs().items()
         }
 
     def __call__(
@@ -358,18 +352,22 @@ class RoMaNet(nn.Module):
     """Backbone + decoder with the reference's A|B concat batching
     (reference matcher.py:585-670)."""
 
+    config: RoMaConfig = RoMaConfig()
     dtype: Dtype = jnp.float32
     coarse_dtype: Dtype = jnp.float32
     train_mode: bool = False
 
     def setup(self):
         self.encoder = CNNandDinov2(
+            config=self.config,
             dtype=self.dtype,
             coarse_dtype=self.coarse_dtype,
             train=self.train_mode,
             name="encoder",
         )
-        self.decoder = Decoder(dtype=self.dtype, train_mode=self.train_mode, name="decoder")
+        self.decoder = Decoder(
+            config=self.config, dtype=self.dtype, train_mode=self.train_mode, name="decoder"
+        )
 
     def __call__(
         self,

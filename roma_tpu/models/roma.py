@@ -28,6 +28,7 @@ from PIL import Image
 
 from ..ops import balanced_sample, grid_sample, interpolate, normalized_grid
 from ..utils.image import imagenet_normalize, load_image, resize, to_array
+from .config import RoMaConfig
 from .matcher import RoMaNet
 
 Dtype = Any
@@ -48,6 +49,7 @@ class RegressionMatcher:
         dtype: Dtype = jnp.float32,
         coarse_dtype: Dtype | None = None,
         seed: int = 0,
+        config: RoMaConfig = RoMaConfig(),
     ):
         assert h % 14 == 0 and w % 14 == 0, "coarse res must be a multiple of 14"
         self.variables = variables
@@ -60,16 +62,28 @@ class RegressionMatcher:
         self.attenuate_cert = attenuate_cert
         self.upsample_res = upsample_res
         self.dtype = dtype
-        self.net = RoMaNet(dtype=dtype, coarse_dtype=coarse_dtype or dtype)
+        self.net = RoMaNet(config=config, dtype=dtype, coarse_dtype=coarse_dtype or dtype)
         self._key = jax.random.PRNGKey(seed)
 
     @staticmethod
-    def init_variables(key=None, dtype: Dtype = jnp.float32, res: int = 56):
+    def init_variables(
+        key=None,
+        dtype: Dtype = jnp.float32,
+        res: int = 56,
+        config: RoMaConfig = RoMaConfig(),
+        fast: bool = False,
+    ):
         """Random-init variables (testing / from-scratch training). ``res``
-        is the init trace resolution (must be %14)."""
+        is the init trace resolution (must be %14). ``fast=True`` skips the
+        init-program compile and fills shapes host-side (utils.fast_init) —
+        right for smoke tests and benchmarks, not for from-scratch training."""
+        from ..utils.fast_init import shape_init
+
         key = key if key is not None else jax.random.PRNGKey(0)
-        net = RoMaNet(dtype=dtype)
+        net = RoMaNet(config=config, dtype=dtype)
         dummy = jnp.zeros((1, res, res, 3), dtype)
+        if fast:
+            return shape_init(net.init, key, dummy, dummy)
         return jax.jit(net.init)(key, dummy, dummy)
 
     def _next_key(self):

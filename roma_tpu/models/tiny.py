@@ -181,11 +181,17 @@ class TinyRoMa:
         self._key = jax.random.PRNGKey(seed)
 
     @staticmethod
-    def init_variables(key=None, dtype: Dtype = jnp.float32):
-        """Random-init parameters (testing / training-from-scratch)."""
+    def init_variables(key=None, dtype: Dtype = jnp.float32, fast: bool = False):
+        """Random-init parameters (testing / training-from-scratch).
+        ``fast=True`` fills shapes host-side without compiling the init
+        program (utils.fast_init) — for smoke tests and benchmarks."""
         key = key if key is not None else jax.random.PRNGKey(0)
         net = TinyRoMaNet(dtype=dtype)
         dummy = jnp.zeros((1, 64, 64, 3), dtype)
+        if fast:
+            from ..utils.fast_init import shape_init
+
+            return shape_init(net.init, key, dummy, dummy)
         return jax.jit(net.init)(key, dummy, dummy)
 
     def _next_key(self):

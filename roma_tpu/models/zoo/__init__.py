@@ -12,6 +12,7 @@ from typing import Any
 
 import jax.numpy as jnp
 
+from ..config import RoMaConfig
 from ..roma import RegressionMatcher
 from ..tiny import TinyRoMa
 from . import convert
@@ -58,7 +59,7 @@ def tiny_roma_v1_outdoor(
         )
         variables = convert.convert_tiny_roma(tiny_sd, xfeat_sd)
     else:
-        variables = TinyRoMa.init_variables(dtype=dtype)
+        variables = TinyRoMa.init_variables(dtype=dtype, fast=True)
     return TinyRoMa(variables, exact_softmax=exact_softmax, dtype=dtype)
 
 
@@ -72,6 +73,7 @@ def _roma_model(
     attenuate_cert: bool = True,
     dtype: Any = jnp.float32,
     amp: bool = True,
+    config: RoMaConfig | None = None,
 ) -> RegressionMatcher:
     """Build a full RoMa matcher (reference model_zoo/roma_models.py:32-205).
 
@@ -82,6 +84,7 @@ def _roma_model(
         coarse_res = (coarse_res, coarse_res)
     if isinstance(upsample_res, int):
         upsample_res = (upsample_res, upsample_res)
+    config = config or RoMaConfig()
     compute_dtype = jnp.bfloat16 if amp else dtype
     if weights is not None and dinov2_weights is not None:
         roma_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
@@ -92,7 +95,11 @@ def _roma_model(
         )
         variables = convert.convert_roma(roma_sd, dino_sd)
     else:
-        variables = RegressionMatcher.init_variables(dtype=compute_dtype)
+        # no pretrained weights -> shapes-only random init (no init compile);
+        # from-scratch training uses the experiments' own initializers
+        variables = RegressionMatcher.init_variables(
+            dtype=compute_dtype, config=config, fast=True
+        )
     return RegressionMatcher(
         variables,
         h=coarse_res[0],
@@ -102,6 +109,7 @@ def _roma_model(
         symmetric=symmetric,
         attenuate_cert=attenuate_cert,
         dtype=compute_dtype,
+        config=config,
     )
 
 

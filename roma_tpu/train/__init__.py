@@ -5,8 +5,10 @@ from .losses_tiny import TinyRobustLosses
 from .optim import ema_params, make_optimizer, multistep_lr
 from .train import (
     TrainState,
+    grad_statistics,
     init_train_state,
     make_train_step,
+    nonfinite_grad_names,
     train_epoch,
     train_k_epochs,
     train_k_steps,
@@ -22,6 +24,8 @@ __all__ = [
     "make_optimizer",
     "multistep_lr",
     "TrainState",
+    "grad_statistics",
+    "nonfinite_grad_names",
     "init_train_state",
     "make_train_step",
     "train_epoch",

@@ -58,11 +58,14 @@ def make_optimizer(
     weight_decay: float = 0.01,
     grad_clip: float = 0.01,
     is_encoder: Callable | None = None,
+    warmup_steps: int = 0,
 ):
     """Two-group AdamW + MultiStepLR + clip, as an optax transform.
 
     ``is_encoder(path, leaf) -> bool`` classifies params; defaults to a
-    top-level "encoder" key (the RoMaNet layout).
+    top-level "encoder" key (the RoMaNet layout). ``warmup_steps`` enables the
+    reference's warmup-dampened LR stepping (train/train.py:61-63) as a linear
+    ramp inside the schedule.
     """
     if is_encoder is None:
         def is_encoder(path, _leaf):
@@ -71,7 +74,10 @@ def make_optimizer(
     def adamw(lr):
         return optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            optax.adamw(multistep_lr(lr, milestones), weight_decay=weight_decay),
+            optax.adamw(
+                multistep_lr(lr, milestones, warmup_steps=warmup_steps),
+                weight_decay=weight_decay,
+            ),
         )
 
     def label_fn(params):

@@ -29,6 +29,49 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: int = 0
+    ema_params: Any = None  # optional EMA of params (reference train.py:59-60)
+
+
+def _is_encoder_path(path) -> bool:
+    return any(getattr(k, "key", None) == "encoder" for k in path)
+
+
+def grad_statistics(params, grads):
+    """Per-leaf/group gradient statistics + non-finite detection (the
+    reference's ``log_param_statistics``, train/train.py:7-21).
+
+    Returns a metrics dict: total ``grad_norm``/``param_norm``, per-group
+    encoder/decoder grad norms, ``nonfinite_grads`` (count of leaves with a
+    non-finite gradient) and ``grad_finite_mask`` (per-leaf, tree-flatten
+    order — map back to names with :func:`nonfinite_grad_names`).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    leaf_norms = jnp.stack(
+        [jnp.linalg.norm(v.astype(jnp.float32).ravel()) for _, v in flat]
+    )
+    finite = jnp.isfinite(leaf_norms)
+    is_enc = jnp.asarray([_is_encoder_path(p) for p, _ in flat])
+    safe = jnp.where(finite, leaf_norms, 0.0)
+    group = lambda m: jnp.sqrt(jnp.sum(jnp.where(m, safe, 0.0) ** 2))
+    return {
+        "grad_norm": jnp.linalg.norm(safe),
+        "param_norm": optax.global_norm(params),
+        "grad_norm_encoder": group(is_enc),
+        "grad_norm_decoder": group(~is_enc),
+        "nonfinite_grads": jnp.sum(~finite).astype(jnp.float32),
+        "grad_finite_mask": finite.astype(jnp.float32),
+    }
+
+
+def nonfinite_grad_names(params, grad_finite_mask) -> list[str]:
+    """Map a ``grad_finite_mask`` metric back to parameter names."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    mask = jax.device_get(grad_finite_mask)
+    return [
+        jax.tree_util.keystr(path)
+        for (path, _), ok in zip(flat, mask)
+        if ok < 1.0
+    ]
 
 
 def make_train_step(
@@ -61,10 +104,10 @@ def make_train_step(
             new_stats = jax.lax.pmean(new_stats, "data")
             metrics = jax.lax.pmean(metrics, "data")
             loss = jax.lax.pmean(loss, "data")
-        grad_norm = optax.global_norm(grads)
+        stats = grad_statistics(params, grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        metrics = dict(metrics, grad_norm=grad_norm, loss=loss)
+        metrics = dict(metrics, **stats, loss=loss)
         return new_params, new_stats, new_opt_state, metrics
 
     if mesh is None:
@@ -89,9 +132,28 @@ def train_k_steps(
     train_step,
     mesh: Mesh | None = None,
     progress: Callable | None = None,
+    ema_decay: float | None = None,
+    warn_nonfinite: bool = False,
 ):
     """Run the step over an iterable of host batches (reference
-    train/train.py:40-64 without the tqdm/wandb coupling)."""
+    train/train.py:40-64 without the tqdm/wandb coupling).
+
+    ``ema_decay`` maintains ``state.ema_params`` (reference ema_model.update(),
+    train.py:59-60); LR warmup is part of the optax schedule
+    (``make_optimizer(warmup_steps=...)`` — the reference's warmup.dampening(),
+    train.py:61-63). ``warn_nonfinite=True`` reads back the per-leaf finite
+    mask each step and prints offending parameter names (reference
+    train.py:18-19) — costs one host sync per step.
+    """
+    ema_update = None
+    if ema_decay is not None:
+        if state.ema_params is None:
+            state.ema_params = jax.tree.map(lambda p: p, state.params)
+        ema_update = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: ema_decay * a + (1 - ema_decay) * b, e, p
+            )
+        )
     metrics = {}
     for batch in batches:
         if mesh is not None:
@@ -99,7 +161,12 @@ def train_k_steps(
         state.params, state.batch_stats, state.opt_state, metrics = train_step(
             state.params, state.batch_stats, state.opt_state, batch
         )
+        if ema_update is not None:
+            state.ema_params = ema_update(state.ema_params, state.params)
         state.step += 1
+        if warn_nonfinite and float(metrics["nonfinite_grads"]) > 0:
+            names = nonfinite_grad_names(state.params, metrics["grad_finite_mask"])
+            print(f"These params have nan or inf grads: {names}")
         if progress is not None:
             progress(state.step, metrics)
     return state, metrics

@@ -26,6 +26,9 @@ from roma_tpu.models.zoo import convert
 
 torch.manual_seed(0)
 
+# full-dim ViT-L graphs: minutes of XLA:CPU compile per program -> slow tier
+pytestmark = pytest.mark.slow
+
 DEPTH = 24  # ViT-L
 
 

@@ -13,7 +13,7 @@ from roma_tpu.parallel.mesh import get_mesh, shard_batch
 
 
 def test_tiny_match_sharded_equals_unsharded():
-    model = TinyRoMa(TinyRoMa.init_variables())
+    model = TinyRoMa(TinyRoMa.init_variables(fast=True))
     rs = np.random.RandomState(0)
     im_A = rs.rand(8, 64, 64, 3).astype(np.float32)
     im_B = rs.rand(8, 64, 64, 3).astype(np.float32)

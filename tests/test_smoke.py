@@ -1,13 +1,21 @@
-"""Construction smoke tests (reference tests/smoke_test.py:1-11)."""
+"""Construction smoke tests (reference tests/smoke_test.py:1-11).
+
+Constructors run with the tiny config (random weights either way — no egress);
+the full-size construction is covered by the slow-tier parity tests and the
+driver's single-chip entry() compile check.
+"""
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 import roma_tpu
+from roma_tpu.models.config import RoMaConfig
+
+TINY = RoMaConfig.tiny()
 
 
 def test_roma_outdoor_constructs():
-    model = roma_tpu.roma_outdoor(coarse_res=56, upsample_res=64, amp=False)
+    model = roma_tpu.roma_outdoor(coarse_res=56, upsample_res=64, amp=False, config=TINY)
     assert model.h_resized == 56 and model.w_resized == 56
     assert model.get_output_resolution() == (64, 64)
     assert model.symmetric and model.upsample_preds
@@ -31,5 +39,5 @@ def test_tiny_constructs():
 
 
 def test_roma_indoor_constructs():
-    model = roma_tpu.roma_indoor(coarse_res=56, upsample_res=64, amp=False)
+    model = roma_tpu.roma_indoor(coarse_res=56, upsample_res=64, amp=False, config=TINY)
     assert model.get_output_resolution() == (64, 64)

@@ -236,7 +236,7 @@ def test_tiny_forward_parity(exact):
 
 
 def test_tiny_match_api():
-    model = TinyRoMa(TinyRoMa.init_variables())
+    model = TinyRoMa(TinyRoMa.init_variables(fast=True))
     im = _rand_images(2, 70, 90)  # not /32 -> exercises preprocess resize
     warp, cert = model.match(im, _rand_images(2, 70, 90, seed=3))
     assert warp.shape == (2, 70, 90, 4)

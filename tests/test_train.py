@@ -173,3 +173,69 @@ def test_checkpoint_roundtrip(tmp_path):
     state2 = ckpt.load(state2)
     assert state2.step == 7
     np.testing.assert_allclose(np.asarray(state2.params["w"]), 1.0)
+
+
+def test_grad_statistics_flags_nonfinite():
+    from roma_tpu.train import grad_statistics, nonfinite_grad_names
+
+    params = {
+        "encoder": {"w": jnp.ones((3, 3))},
+        "decoder": {"w": jnp.ones((2, 2)), "b": jnp.ones((2,))},
+    }
+    grads = {
+        "encoder": {"w": jnp.full((3, 3), 2.0)},
+        "decoder": {"w": jnp.array([[jnp.nan, 1.0], [1.0, 1.0]]), "b": jnp.ones((2,))},
+    }
+    stats = grad_statistics(params, grads)
+    assert float(stats["nonfinite_grads"]) == 1.0
+    names = nonfinite_grad_names(params, stats["grad_finite_mask"])
+    assert names == ["['decoder']['w']"]
+    # encoder group norm excludes the nan leaf and is ||2*ones(3,3)|| = 6
+    assert np.isclose(float(stats["grad_norm_encoder"]), 6.0)
+    # total norm is over finite leaves only
+    assert np.isfinite(float(stats["grad_norm"]))
+    # all-finite grads report zero
+    ok = grad_statistics(params, params)
+    assert float(ok["nonfinite_grads"]) == 0.0
+
+
+def test_train_k_steps_ema_and_stats():
+    import optax
+
+    from roma_tpu.train import TrainState, make_train_step, train_k_steps
+
+    # trivial least-squares "model": corresps = x @ w, loss = mse
+    def apply_fn(variables, batch):
+        out = batch["x"] @ variables["params"]["decoder"]["w"]
+        return out, variables.get("batch_stats", {})
+
+    def objective(out, batch):
+        loss = jnp.mean((out - batch["y"]) ** 2)
+        return loss, {"mse": loss}
+
+    params = {"decoder": {"w": jnp.ones((4, 1))}, "encoder": {"w": jnp.zeros((1,))}}
+    opt = optax.sgd(0.1)
+    step = make_train_step(apply_fn, objective, opt)
+    state = TrainState(params=params, batch_stats={}, opt_state=opt.init(params))
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(16, 4).astype(np.float32)
+    w_true = np.array([[1.0], [-2.0], [0.5], [3.0]], np.float32)
+    batches = [{"x": jnp.asarray(x), "y": jnp.asarray(x @ w_true)} for _ in range(5)]
+
+    # one step: ema must be exactly 0.5*init + 0.5*params_1
+    state, metrics = train_k_steps(state, batches[:1], step, ema_decay=0.5)
+    w1 = np.asarray(state.params["decoder"]["w"])
+    e1 = np.asarray(state.ema_params["decoder"]["w"])
+    np.testing.assert_allclose(e1, 0.5 * np.ones_like(w1) + 0.5 * w1, rtol=1e-6)
+
+    state, metrics = train_k_steps(state, batches[1:], step, ema_decay=0.5)
+    assert state.step == 5
+    for key in ("grad_norm", "param_norm", "grad_norm_encoder", "grad_norm_decoder",
+                "nonfinite_grads", "loss"):
+        assert key in metrics, key
+    assert float(metrics["nonfinite_grads"]) == 0.0
+    # EMA trails the raw params
+    w = np.asarray(state.params["decoder"]["w"])
+    e = np.asarray(state.ema_params["decoder"]["w"])
+    assert not np.allclose(w, e)
