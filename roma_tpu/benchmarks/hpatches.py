@@ -1,9 +1,17 @@
-"""HPatches homography benchmark (reference
-romatch/benchmarks/hpatches_sequences_homog_benchmark.py:11-113):
-match -> sample -> cv2.findHomography RANSAC -> corner-warp error AUC@3/5/10.
+"""HPatches homography benchmark.
+
+Protocol (reference romatch/benchmarks/hpatches_sequences_homog_benchmark.py:
+11-113): per sequence, match image 1 against images 2..6, estimate a
+homography from 5000 sampled matches with OpenCV RANSAC (reprojection
+threshold 3 px at 480 short side), score by the mean corner-warp error
+normalized to the 480 px scale, AUC over thresholds 1..10.
+
+HPatches coordinate convention: the top-left pixel center is (0, 0), hence
+the -0.5 offset from our pixel-center convention.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import cv2
@@ -24,79 +32,85 @@ IGNORE_SEQS = {
     "v_talent",
 }
 
+PIXEL_OFFSET = 0.5
+NORM_SHORT_SIDE = 480.0
+
+
+@dataclasses.dataclass
+class HomogPair:
+    im_A: str
+    im_B: str
+    H_gt: np.ndarray
+    wh_A: tuple[int, int]
+    wh_B: tuple[int, int]
+
+
+def load_hpatches_pairs(seqs_path: str) -> list[HomogPair]:
+    pairs: list[HomogPair] = []
+    for seq_name in sorted(os.listdir(seqs_path)):
+        if seq_name in IGNORE_SEQS:
+            continue
+        seq_dir = os.path.join(seqs_path, seq_name)
+        path_A = os.path.join(seq_dir, "1.ppm")
+        with Image.open(path_A) as im:
+            wh_A = im.size
+        for idx in range(2, 7):
+            path_B = os.path.join(seq_dir, f"{idx}.ppm")
+            with Image.open(path_B) as im:
+                wh_B = im.size
+            H_gt = np.loadtxt(os.path.join(seq_dir, f"H_1_{idx}"))
+            pairs.append(HomogPair(path_A, path_B, H_gt, wh_A, wh_B))
+    return pairs
+
+
+def corner_warp_error(H_est: np.ndarray, pair: HomogPair) -> float:
+    """Mean distance between GT- and estimated-homography corner warps,
+    normalized to the 480 px short-side scale."""
+    w1, h1 = pair.wh_A
+    corners = np.array(
+        [[0, 0, 1], [0, h1 - 1, 1], [w1 - 1, 0, 1], [w1 - 1, h1 - 1, 1]], np.float64
+    )
+    gt = corners @ pair.H_gt.T
+    est = corners @ H_est.T
+    gt = gt[:, :2] / gt[:, 2:]
+    est = est[:, :2] / est[:, 2:]
+    scale = min(pair.wh_B) / NORM_SHORT_SIDE
+    return float(np.mean(np.linalg.norm(gt - est, axis=1)) / scale)
+
 
 class HpatchesHomogBenchmark:
-    """HPatches grid goes from [0, n-1] instead of [0.5, n-0.5]."""
-
     def __init__(self, dataset_path):
         self.seqs_path = os.path.join(dataset_path, "hpatches-sequences-release")
-        self.seq_names = sorted(os.listdir(self.seqs_path))
-        self.ignore_seqs = IGNORE_SEQS
 
-    def convert_coordinates(self, im_A_coords, im_A_to_im_B, wq, hq, wsup, hsup):
-        offset = 0.5  # HPatches top-left pixel center is [0,0]
-        im_A_coords = (
-            np.stack(
-                (wq * (im_A_coords[..., 0] + 1) / 2, hq * (im_A_coords[..., 1] + 1) / 2),
-                axis=-1,
-            )
-            - offset
-        )
-        im_A_to_im_B = (
-            np.stack(
-                (
-                    wsup * (im_A_to_im_B[..., 0] + 1) / 2,
-                    hsup * (im_A_to_im_B[..., 1] + 1) / 2,
-                ),
-                axis=-1,
-            )
-            - offset
-        )
-        return im_A_coords, im_A_to_im_B
+    def _to_pixels(self, coords, wh) -> np.ndarray:
+        w, h = wh
+        coords = np.asarray(coords)
+        return np.stack(
+            (w * (coords[..., 0] + 1) / 2, h * (coords[..., 1] + 1) / 2), axis=-1
+        ) - PIXEL_OFFSET
 
-    def benchmark(self, model, model_name=None):
-        homog_dists = []
-        for seq_name in tqdm(self.seq_names):
-            if seq_name in self.ignore_seqs:
-                continue
-            im_A_path = os.path.join(self.seqs_path, seq_name, "1.ppm")
-            w1, h1 = Image.open(im_A_path).size
-            for im_idx in range(2, 7):
-                im_B_path = os.path.join(self.seqs_path, seq_name, f"{im_idx}.ppm")
-                w2, h2 = Image.open(im_B_path).size
-                H = np.loadtxt(os.path.join(self.seqs_path, seq_name, f"H_1_{im_idx}"))
-                dense_matches, dense_certainty = model.match(im_A_path, im_B_path)
-                good_matches, _ = model.sample(dense_matches, dense_certainty, 5000)
-                good_matches = np.asarray(good_matches)
-                pos_a, pos_b = self.convert_coordinates(
-                    good_matches[:, :2], good_matches[:, 2:], w1, h1, w2, h2
+    def benchmark(self, model, model_name=None, sample_n: int = 5000):
+        pairs = load_hpatches_pairs(self.seqs_path)
+        dists = []
+        for pair in tqdm(pairs):
+            warp, certainty = model.match(pair.im_A, pair.im_B)
+            matches, _ = model.sample(warp, certainty, sample_n)
+            matches = np.asarray(matches)
+            pos_A = self._to_pixels(matches[:, :2], pair.wh_A)
+            pos_B = self._to_pixels(matches[:, 2:], pair.wh_B)
+            try:
+                H_est, _ = cv2.findHomography(
+                    pos_A, pos_B,
+                    method=cv2.RANSAC,
+                    confidence=0.99999,
+                    ransacReprojThreshold=3 * min(pair.wh_B) / NORM_SHORT_SIDE,
                 )
-                try:
-                    H_pred, inliers = cv2.findHomography(
-                        pos_a,
-                        pos_b,
-                        method=cv2.RANSAC,
-                        confidence=0.99999,
-                        ransacReprojThreshold=3 * min(w2, h2) / 480,
-                    )
-                except Exception:
-                    H_pred = None
-                if H_pred is None:
-                    H_pred = np.zeros((3, 3))
-                    H_pred[2, 2] = 1.0
-                corners = np.array(
-                    [[0, 0, 1], [0, h1 - 1, 1], [w1 - 1, 0, 1], [w1 - 1, h1 - 1, 1]]
-                )
-                real_warped = corners @ H.T
-                real_warped = real_warped[:, :2] / real_warped[:, 2:]
-                warped = corners @ H_pred.T
-                warped = warped[:, :2] / warped[:, 2:]
-                mean_dist = np.mean(np.linalg.norm(real_warped - warped, axis=1)) / (
-                    min(w2, h2) / 480.0
-                )
-                homog_dists.append(mean_dist)
-        thresholds = list(range(1, 11))
-        auc = pose_auc(np.array(homog_dists), thresholds)
+            except Exception:
+                H_est = None
+            if H_est is None:
+                H_est = np.diag([0.0, 0.0, 1.0])  # degenerate -> large error
+            dists.append(corner_warp_error(H_est, pair))
+        auc = pose_auc(np.asarray(dists), list(range(1, 11)))
         return {
             "hpatches_homog_auc_3": auc[2],
             "hpatches_homog_auc_5": auc[4],

@@ -1,0 +1,224 @@
+"""Shared two-view pose-benchmark engine.
+
+All pose benchmarks (Mega-1500 / Mega-8-scenes, the native-RANSAC variant,
+ScanNet-1500) are the same experiment with different pair loaders and pose
+estimators:
+
+    pairs -> dense match -> N x { sample, to-pixel, RANSAC, pose error }
+          -> pooled AUC@5/10/20 + mAP
+
+This module owns that engine; the per-dataset files only build ``PosePair``
+lists and pick an estimator. Protocol constants (intrinsic rescale rules,
+5000 samples, 5 repeats, thresholds [5, 10, 20], the 0.5 px threshold
+normalized by mean focal length, error=90° on estimator failure) follow the
+reference protocol (romatch/benchmarks/megadepth_pose_estimation_benchmark.py:
+59-87, scannet_benchmark.py:59-125) so metrics stay comparable.
+
+TPU-native addition (BASELINE config 4): ``match_pairs_batched`` runs the
+match phase over B-pair device batches, optionally sharded over an ICI mesh —
+the reference matches strictly one pair at a time from paths.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from .pose import compute_pose_error, estimate_pose, pose_auc
+
+THRESHOLDS = (5, 10, 20)
+
+
+@dataclasses.dataclass
+class PosePair:
+    """One evaluation pair: image paths + protocol-rescaled geometry."""
+
+    im_A: str
+    im_B: str
+    K1: np.ndarray          # (3,3), already protocol-rescaled
+    K2: np.ndarray
+    R: np.ndarray           # GT relative rotation (3,3)
+    t: np.ndarray           # GT relative translation (3,)
+    hw_A: tuple[float, float]  # protocol-rescaled (h, w) for to-pixel
+    hw_B: tuple[float, float]
+
+
+class PoseErrors:
+    """Pooled pose-error accumulator -> AUC/mAP summary."""
+
+    def __init__(self):
+        self.e_t: list[float] = []
+        self.e_R: list[float] = []
+        self.e_pose: list[float] = []
+
+    def add(self, e_t: float, e_R: float):
+        self.e_t.append(float(e_t))
+        self.e_R.append(float(e_R))
+        self.e_pose.append(float(max(e_t, e_R)))
+
+    def summary(self, thresholds=THRESHOLDS) -> dict[str, float]:
+        e = np.asarray(self.e_pose)
+        auc = pose_auc(e, list(thresholds))
+        acc = {th: float((e < th).mean()) for th in (5, 10, 15, 20)}
+        return {
+            "auc_5": auc[0],
+            "auc_10": auc[1],
+            "auc_20": auc[2],
+            "map_5": acc[5],
+            "map_10": float(np.mean([acc[5], acc[10]])),
+            "map_20": float(np.mean([acc[5], acc[10], acc[15], acc[20]])),
+        }
+
+
+def cv2_estimator(kpts1, kpts2, K1, K2, rep: int):
+    """OpenCV 5-point essential RANSAC (reference utils.py:30-51).
+
+    Threshold: 0.5 px normalized by the mean focal magnitude of both cameras
+    (megadepth_pose_estimation_benchmark.py:76-79).
+    """
+    norm_threshold = 0.5 / (np.mean(np.abs(K1[:2, :2])) + np.mean(np.abs(K2[:2, :2])))
+    out = estimate_pose(kpts1, kpts2, K1, K2, norm_threshold, conf=0.99999)
+    if out is None:
+        raise RuntimeError("essential-matrix estimation failed")
+    R_est, t_est, _ = out
+    return R_est, t_est.reshape(3)
+
+
+def native_estimator(kpts1, kpts2, K1, K2, rep: int):
+    """Self-contained C++ RANSAC (native/ransac) — the poselib-path
+    equivalent (megadepth_pose_estimation_benchmark_poselib.py:78-84)."""
+    from .. import native
+
+    out = native.estimate_relative_pose(
+        np.asarray(kpts1, np.float64), np.asarray(kpts2, np.float64),
+        K1, K2, threshold=0.5, max_iters=10000, seed=rep,
+    )
+    if out is None:
+        raise RuntimeError("native pose estimation failed")
+    R_est, t_est, _ = out
+    return R_est, t_est.reshape(3)
+
+
+def evaluate_matched_pair(
+    model,
+    pair: PosePair,
+    warp,
+    certainty,
+    errors: PoseErrors,
+    rng: np.random.Generator,
+    estimator: Callable = cv2_estimator,
+    repeats: int = 5,
+    sample_n: int = 5000,
+    pixel_offset: float = 0.0,
+    double_final_repeat: bool = False,
+):
+    """Sample/estimate ``repeats`` times from one pair's dense match."""
+    (h1, w1), (h2, w2) = pair.hw_A, pair.hw_B
+    e_t = e_R = 90.0
+    for rep in range(repeats):
+        sparse, _ = model.sample(warp, certainty, sample_n)
+        kpts1, kpts2 = model.to_pixel_coordinates(sparse, h1, w1, h2, w2)
+        kpts1 = np.asarray(kpts1) - pixel_offset
+        kpts2 = np.asarray(kpts2) - pixel_offset
+        order = rng.permutation(len(kpts1))
+        kpts1, kpts2 = kpts1[order], kpts2[order]
+        try:
+            R_est, t_est = estimator(kpts1, kpts2, pair.K1, pair.K2, rep)
+            T_est = np.concatenate((R_est, t_est[:, None]), axis=-1)
+            e_t, e_R = compute_pose_error(T_est, pair.R, pair.t)
+        except Exception as exc:  # estimator failure -> protocol max error
+            print(repr(exc))
+            e_t = e_R = 90.0
+        errors.add(e_t, e_R)
+    if double_final_repeat:
+        # ScanNet protocol quirk: the reference appends the last repeat twice
+        # (scannet_benchmark.py:123-125); kept for metric comparability
+        errors.add(e_t, e_R)
+
+
+def match_pairs_single(model, pairs: Iterable[PosePair]) -> Iterator[tuple[PosePair, object, object]]:
+    """Reference-exact match phase: one pair at a time from paths."""
+    for pair in pairs:
+        warp, certainty = model.match(pair.im_A, pair.im_B)
+        yield pair, warp, certainty
+
+
+def match_pairs_batched(
+    model, pairs: list[PosePair], batch_size: int, mesh=None
+) -> Iterator[tuple[PosePair, object, object]]:
+    """Batched match phase: pre-resize every pair to the model's two static
+    resolutions on host, stack into B-pair batches, run ONE jitted two-pass
+    match per batch — optionally with the pair batch sharded over the ICI
+    ``mesh`` (GSPMD inserts the collectives). Per-pair preprocessing is
+    identical to the path mode (PIL bicubic + ImageNet normalize), so metrics
+    match the single-pair protocol up to sampling noise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.image import imagenet_normalize, load_image, resize, to_array
+
+    def prep(path, hw):
+        return imagenet_normalize(to_array(resize(load_image(path), hw)))
+
+    coarse_hw = (model.h_resized, model.w_resized)
+    up_hw = model.upsample_res if model.upsample_preds else None
+
+    for start in range(0, len(pairs), batch_size):
+        chunk = pairs[start : start + batch_size]
+        pad = batch_size - len(chunk)  # static shapes: pad the final batch
+        padded = chunk + [chunk[-1]] * pad
+        kw = {}
+        batch_A = np.stack([prep(p.im_A, coarse_hw) for p in padded])
+        batch_B = np.stack([prep(p.im_B, coarse_hw) for p in padded])
+        if up_hw is not None:
+            kw["im_A_high_res"] = np.stack([prep(p.im_A, up_hw) for p in padded])
+            kw["im_B_high_res"] = np.stack([prep(p.im_B, up_hw) for p in padded])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+            batch_A = jax.device_put(batch_A, sharding)
+            batch_B = jax.device_put(batch_B, sharding)
+            kw = {k: jax.device_put(v, sharding) for k, v in kw.items()}
+        warp, certainty = model.match(
+            jnp.asarray(batch_A, model.dtype), jnp.asarray(batch_B, model.dtype), **kw
+        )
+        for i, pair in enumerate(chunk):
+            yield pair, warp[i], certainty[i]
+
+
+def run_pose_benchmark(
+    model,
+    pairs: list[PosePair],
+    estimator: Callable = cv2_estimator,
+    repeats: int = 5,
+    sample_n: int = 5000,
+    pixel_offset: float = 0.0,
+    double_final_repeat: bool = False,
+    batch_size: int | None = None,
+    mesh=None,
+    seed: int = 0,
+    progress: bool = True,
+) -> dict[str, float]:
+    """Run the full benchmark; ``batch_size``/``mesh`` enable the batched
+    (and ICI-sharded) match phase."""
+    rng = np.random.default_rng(seed)
+    errors = PoseErrors()
+    matched = (
+        match_pairs_batched(model, pairs, batch_size, mesh=mesh)
+        if batch_size is not None
+        else match_pairs_single(model, pairs)
+    )
+    if progress:
+        from tqdm import tqdm
+
+        matched = tqdm(matched, total=len(pairs))
+    for pair, warp, certainty in matched:
+        evaluate_matched_pair(
+            model, pair, warp, certainty, errors, rng,
+            estimator=estimator, repeats=repeats, sample_n=sample_n,
+            pixel_offset=pixel_offset, double_final_repeat=double_final_repeat,
+        )
+    return errors.summary()

@@ -1,6 +1,13 @@
-"""ScanNet-1500 pose benchmark (reference
-romatch/benchmarks/scannet_benchmark.py:9-143): test.npz pairs, min-dim-480
-intrinsic rescale, 0.5 px offset convention, 5 RANSAC repeats -> AUC/mAP.
+"""ScanNet-1500 pose benchmark.
+
+Pair loading for the published test.npz + the shared engine in ``pose_bench``.
+Protocol (reference romatch/benchmarks/scannet_benchmark.py:9-143): intrinsics
+rescaled so the shorter side is 480 px, the 0.5 px pixel-center offset, 5
+RANSAC repeats with the final repeat double-counted (reference quirk, kept for
+comparability), AUC@5/10/20 + mAP.
+
+Reproducibility fix over the reference: pair order shuffling and sampling use
+a seeded generator instead of global numpy state.
 """
 from __future__ import annotations
 
@@ -8,109 +15,64 @@ import os.path as osp
 
 import numpy as np
 from PIL import Image
-from tqdm import tqdm
 
-from .pose import compute_pose_error, estimate_pose, pose_auc
+from .pose_bench import PosePair, cv2_estimator, run_pose_benchmark
+
+PROTOCOL_SHORT_SIDE = 480
+
+
+def load_scannet_pairs(data_root: str, shuffle_seed: int = 0) -> list[PosePair]:
+    """test.npz -> PosePair list (intrinsics from each scene's
+    intrinsic_color.txt, rescaled to a 480 px short side)."""
+    data = np.load(osp.join(data_root, "test.npz"))
+    names, rel_poses = data["name"], data["rel_pose"]
+    order = np.random.default_rng(shuffle_seed).permutation(len(names))
+    intrinsics_cache: dict[str, np.ndarray] = {}
+    pairs: list[PosePair] = []
+    for i in order:
+        scene = names[i]
+        scene_name = f"scene0{scene[0]}_00"
+        scene_dir = osp.join(data_root, "scans_test", scene_name)
+        path_A = osp.join(scene_dir, "color", f"{scene[2]}.jpg")
+        path_B = osp.join(scene_dir, "color", f"{scene[3]}.jpg")
+        if scene_name not in intrinsics_cache:
+            intrinsics_cache[scene_name] = np.loadtxt(
+                osp.join(scene_dir, "intrinsic", "intrinsic_color.txt")
+            )
+        K = intrinsics_cache[scene_name]
+        T_gt = rel_poses[i].reshape(3, 4)
+        with Image.open(path_A) as im:
+            w1, h1 = im.size
+        with Image.open(path_B) as im:
+            w2, h2 = im.size
+        s1 = PROTOCOL_SHORT_SIDE / min(w1, h1)
+        s2 = PROTOCOL_SHORT_SIDE / min(w2, h2)
+        pairs.append(
+            PosePair(
+                im_A=path_A, im_B=path_B,
+                K1=K.copy() * s1, K2=K.copy() * s2,
+                R=T_gt[:3, :3], t=T_gt[:3, 3],
+                hw_A=(s1 * h1, s1 * w1), hw_B=(s2 * h2, s2 * w2),
+            )
+        )
+    return pairs
 
 
 class ScanNetBenchmark:
-    def __init__(self, data_root="data/scannet"):
+    def __init__(self, data_root="data/scannet", seed: int = 0):
         self.data_root = data_root
+        self.seed = seed
 
-    def benchmark(self, model, model_name=None):
-        tmp = np.load(osp.join(self.data_root, "test.npz"))
-        pairs, rel_pose = tmp["name"], tmp["rel_pose"]
-        tot_e_t, tot_e_R, tot_e_pose = [], [], []
-        pair_inds = np.random.choice(range(len(pairs)), size=len(pairs), replace=False)
-        for pairind in tqdm(pair_inds, smoothing=0.9):
-            scene = pairs[pairind]
-            scene_name = f"scene0{scene[0]}_00"
-            im_A_path = osp.join(
-                self.data_root, "scans_test", scene_name, "color", f"{scene[2]}.jpg"
-            )
-            im_B_path = osp.join(
-                self.data_root, "scans_test", scene_name, "color", f"{scene[3]}.jpg"
-            )
-            T_gt = rel_pose[pairind].reshape(3, 4)
-            R, t = T_gt[:3, :3], T_gt[:3, 3]
-            K = np.stack(
-                [
-                    np.array([float(i) for i in r.split()])
-                    for r in open(
-                        osp.join(
-                            self.data_root, "scans_test", scene_name,
-                            "intrinsic", "intrinsic_color.txt",
-                        )
-                    )
-                    .read()
-                    .split("\n")
-                    if r
-                ]
-            )
-            w1, h1 = Image.open(im_A_path).size
-            w2, h2 = Image.open(im_B_path).size
-            dense_matches, dense_certainty = model.match(im_A_path, im_B_path)
-            sparse_matches, _ = model.sample(dense_matches, dense_certainty, 5000)
-            sparse_matches = np.asarray(sparse_matches)
-
-            scale1 = 480 / min(w1, h1)
-            scale2 = 480 / min(w2, h2)
-            w1, h1 = scale1 * w1, scale1 * h1
-            w2, h2 = scale2 * w2, scale2 * h2
-            K1 = K.copy() * scale1
-            K2 = K.copy() * scale2
-
-            offset = 0.5
-            kpts1 = np.stack(
-                (
-                    w1 * (sparse_matches[:, 0] + 1) / 2 - offset,
-                    h1 * (sparse_matches[:, 1] + 1) / 2 - offset,
-                ),
-                axis=-1,
-            )
-            kpts2 = np.stack(
-                (
-                    w2 * (sparse_matches[:, 2] + 1) / 2 - offset,
-                    h2 * (sparse_matches[:, 3] + 1) / 2 - offset,
-                ),
-                axis=-1,
-            )
-            for _ in range(5):
-                shuffling = np.random.permutation(len(kpts1))
-                kpts1, kpts2 = kpts1[shuffling], kpts2[shuffling]
-                try:
-                    norm_threshold = 0.5 / (
-                        np.mean(np.abs(K1[:2, :2])) + np.mean(np.abs(K2[:2, :2]))
-                    )
-                    R_est, t_est, mask = estimate_pose(
-                        kpts1, kpts2, K1, K2, norm_threshold, conf=0.99999
-                    )
-                    T1_to_2_est = np.concatenate((R_est, t_est), axis=-1)
-                    e_t, e_R = compute_pose_error(T1_to_2_est, R, t)
-                    e_pose = max(e_t, e_R)
-                except Exception as e:
-                    print(repr(e))
-                    e_t, e_R = 90, 90
-                    e_pose = max(e_t, e_R)
-                tot_e_t.append(e_t)
-                tot_e_R.append(e_R)
-                tot_e_pose.append(e_pose)
-            # reference appends the final repeat once more (scannet_benchmark.py:123-125)
-            tot_e_t.append(e_t)
-            tot_e_R.append(e_R)
-            tot_e_pose.append(e_pose)
-        tot_e_pose = np.array(tot_e_pose)
-        thresholds = [5, 10, 20]
-        auc = pose_auc(tot_e_pose, thresholds)
-        acc_5 = (tot_e_pose < 5).mean()
-        acc_10 = (tot_e_pose < 10).mean()
-        acc_15 = (tot_e_pose < 15).mean()
-        acc_20 = (tot_e_pose < 20).mean()
-        return {
-            "auc_5": auc[0],
-            "auc_10": auc[1],
-            "auc_20": auc[2],
-            "map_5": acc_5,
-            "map_10": np.mean([acc_5, acc_10]),
-            "map_20": np.mean([acc_5, acc_10, acc_15, acc_20]),
-        }
+    def benchmark(self, model, model_name=None, batch_size: int | None = None,
+                  mesh=None):
+        pairs = load_scannet_pairs(self.data_root, shuffle_seed=self.seed)
+        return run_pose_benchmark(
+            model, pairs,
+            estimator=cv2_estimator,
+            repeats=5,
+            pixel_offset=0.5,  # ScanNet pixel-center convention
+            double_final_repeat=True,
+            batch_size=batch_size,
+            mesh=mesh,
+            seed=self.seed,
+        )

@@ -110,7 +110,10 @@ class TinyRoMaNet(nn.Module):
         hc, wc = f_a_c.shape[1], f_a_c.shape[2]
         cvt = corr_volume_qmajor(f_a_c, f_b_c)
         exact = self.exact_softmax or self.train_mode
-        coarse_warp = softmax_pos_embed(cvt, (hc, wc), exact).reshape(b, hc, wc, 2)
+        # matching grid lives on B's coarse feature map (reference pos_embed
+        # uses H1/W1, tiny.py:116-122) — differs from A's when sizes differ
+        hc_b, wc_b = f_b_c.shape[1], f_b_c.shape[2]
+        coarse_warp = softmax_pos_embed(cvt, (hc_b, wc_b), exact).reshape(b, hc, wc, 2)
 
         to_norm = jnp.asarray([2.0 / w, 2.0 / h, 1.0], dtype=jnp.float32)
 
@@ -198,13 +201,23 @@ class TinyRoMa:
         self._key, k = jax.random.split(self._key)
         return k
 
-    # -- core jitted pipeline (one program per (B, H, W)) ------------------
-    @partial(jax.jit, static_argnums=(0, 2, 3))
-    def _match_jit(self, variables, hw: tuple[int, int], proc_hw: tuple[int, int], im_A, im_B):
+    # -- core jitted pipeline (one program per (B, H_A, W_A, H_B, W_B)) ----
+    @partial(jax.jit, static_argnums=(0, 2, 3, 4))
+    def _match_jit(
+        self,
+        variables,
+        hw: tuple[int, int],
+        proc_hw_A: tuple[int, int],
+        proc_hw_B: tuple[int, int],
+        im_A,
+        im_B,
+    ):
+        """Each image is resized to its OWN nearest /32 grid (reference
+        preprocess_tensor per image, tiny.py:72-79,277-278) — resizing A to
+        B's grid would silently change A's aspect when sizes differ."""
         h0, w0 = hw
-        ph, pw = proc_hw
-        im_A = interpolate(im_A, (ph, pw), mode="bilinear")
-        im_B = interpolate(im_B, (ph, pw), mode="bilinear")
+        im_A = interpolate(im_A, proc_hw_A, mode="bilinear")
+        im_B = interpolate(im_B, proc_hw_B, mode="bilinear")
         corresps = self.net.apply(variables, im_A, im_B)
         flow = interpolate(corresps[4]["flow"], (h0, w0), mode="bilinear")
         cert = interpolate(corresps[4]["certainty"], (h0, w0), mode="bilinear")
@@ -213,12 +226,15 @@ class TinyRoMa:
         warp = jnp.concatenate((grid, flow), axis=-1)
         return warp, jax.nn.sigmoid(cert[..., 0])
 
+    @staticmethod
+    def _proc_hw(x) -> tuple[int, int]:
+        return (x.shape[1] // 32) * 32, (x.shape[2] // 32) * 32
+
     def forward(self, batch):
         """corresps pyramid from a batch dict {im_A, im_B} (NHWC, [0,1])."""
-        im_A, im_B = batch["im_A"], batch["im_B"]
-        ph, pw = (im_B.shape[1] // 32) * 32, (im_B.shape[2] // 32) * 32
-        im_A = interpolate(jnp.asarray(im_A), (ph, pw), mode="bilinear")
-        im_B = interpolate(jnp.asarray(im_B), (ph, pw), mode="bilinear")
+        im_A, im_B = jnp.asarray(batch["im_A"]), jnp.asarray(batch["im_B"])
+        im_A = interpolate(im_A, self._proc_hw(im_A), mode="bilinear")
+        im_B = interpolate(im_B, self._proc_hw(im_B), mode="bilinear")
         return self.net.apply(self.variables, im_A, im_B)
 
     def match(self, im_A, im_B, *, batched: bool = True):
@@ -233,8 +249,9 @@ class TinyRoMa:
             im_A, im_B = im_A[None], im_B[None]
             batched = False
         h0, w0 = im_A.shape[1], im_A.shape[2]
-        proc = ((im_B.shape[1] // 32) * 32, (im_B.shape[2] // 32) * 32)
-        warp, cert = self._match_jit(self.variables, (h0, w0), proc, im_A, im_B)
+        warp, cert = self._match_jit(
+            self.variables, (h0, w0), self._proc_hw(im_A), self._proc_hw(im_B), im_A, im_B
+        )
         if batched:
             return warp, cert
         return warp[0], cert[0]

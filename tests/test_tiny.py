@@ -158,9 +158,10 @@ class TinyTorch(nn.Module):
         f0_f, f0_c = self.xfeat(im0)
         f1_f, f1_c = self.xfeat(im1)
         Bc, Cc, Hc, Wc = f0_c.shape
+        H1c, W1c = f1_c.shape[-2:]
         cv = torch.einsum(
             "bci,bcj->bji", f0_c.reshape(B, Cc, -1), f1_c.reshape(B, Cc, -1)
-        ).reshape(B, Hc, Wc, Hc, Wc) / math.sqrt(Cc)
+        ).reshape(B, H1c, W1c, Hc, Wc) / math.sqrt(Cc)
         warp = self.pos_embed(cv)
         coarse = torch.cat((warp, torch.zeros_like(warp[:, -1:])), dim=1)
         f1_c_w = F.grid_sample(
@@ -252,3 +253,41 @@ def test_tiny_match_api():
     kA, kB = model.to_pixel_coordinates(matches, 70, 90, 70, 90)
     assert kA.shape == (500, 2)
     assert (np.asarray(kA)[:, 0] <= 90 + 1).all()
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_tiny_forward_parity_unequal_sizes(exact):
+    """A and B at different resolutions: each image keeps its own /32 grid
+    (reference tiny.py:72-79,277-290)."""
+    torch.manual_seed(2)
+    tm = TinyTorch(exact_softmax=exact).eval()
+    sd = convert.state_dict_to_numpy(tm.state_dict())
+    xfeat_sd = {k[len("xfeat.") :]: v for k, v in sd.items() if k.startswith("xfeat.")}
+    variables = convert.convert_tiny_roma(sd, xfeat_sd)
+    im0 = _rand_images(1, 64, 96, seed=4)
+    im1 = _rand_images(1, 96, 64, seed=5)
+    with torch.no_grad():
+        t_coarse, t_fine = tm(
+            torch.tensor(im0).permute(0, 3, 1, 2), torch.tensor(im1).permute(0, 3, 1, 2)
+        )
+    net = TinyRoMaNet(exact_softmax=exact)
+    corresps = net.apply(variables, jnp.asarray(im0), jnp.asarray(im1))
+    j_fine = np.concatenate(
+        [np.asarray(corresps[4]["flow"]), np.asarray(corresps[4]["certainty"])], axis=-1
+    )
+    # output lives on A's grid
+    assert j_fine.shape[1:3] == (64 // 4, 96 // 4)
+    np.testing.assert_allclose(
+        j_fine, t_fine.permute(0, 2, 3, 1).numpy(), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_tiny_match_api_unequal_sizes():
+    """match() must not resize A to B's grid (aspect preservation)."""
+    model = TinyRoMa(TinyRoMa.init_variables(fast=True))
+    im_A = _rand_images(1, 70, 120, seed=6)
+    im_B = _rand_images(1, 120, 70, seed=7)
+    warp, cert = model.match(im_A[0], im_B[0])
+    assert warp.shape == (70, 120, 4)  # A's resolution
+    assert cert.shape == (70, 120)
+    assert np.isfinite(np.asarray(warp)).all()
