@@ -75,3 +75,87 @@ def test_estimate_homography_recovers_synthetic():
     b = b[:, :2] / b[:, 2:]
     assert np.abs(a - b).max() < 3.0
     assert inl.sum() > 120
+
+
+def _pose_errors(R, t, R_gt, t_gt):
+    cos = np.clip((np.trace(R_gt.T @ R) - 1) / 2, -1, 1)
+    rot_err = np.rad2deg(np.arccos(cos))
+    t_dir = t.ravel() / np.linalg.norm(t)
+    t_gt_dir = t_gt / np.linalg.norm(t_gt)
+    t_err = np.rad2deg(np.arccos(np.clip(np.abs(t_dir @ t_gt_dir), -1, 1)))
+    return rot_err, t_err
+
+
+def test_estimate_relative_pose_planar_scene():
+    """All points on one plane: 8-point is degenerate, the 5-point minimal
+    solver must still recover the pose."""
+    if not native.available():
+        pytest.skip("native lib unavailable (no compiler)")
+    rs = np.random.RandomState(3)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    n = 100
+    # points on the plane z = 5 + 0.3x + 0.2y
+    xy = np.stack([rs.uniform(-2, 2, n), rs.uniform(-1.5, 1.5, n)], -1)
+    z = 5 + 0.3 * xy[:, 0] + 0.2 * xy[:, 1]
+    X = np.concatenate([xy, z[:, None]], -1)
+    ang = 0.12
+    R_gt = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+    )
+    t_gt = np.array([0.4, 0.15, 0.05])
+    X2 = X @ R_gt.T + t_gt
+    p1 = (X / X[:, 2:]) @ K.T
+    p2 = (X2 / X2[:, 2:]) @ K.T
+    k1 = p1[:, :2] + rs.randn(n, 2) * 0.1
+    k2 = p2[:, :2] + rs.randn(n, 2) * 0.1
+    out = native.estimate_relative_pose(k1, k2, K, K, threshold=1.0)
+    assert out is not None, "planar scene must not defeat the 5-point solver"
+    R, t, inl = out
+    rot_err, t_err = _pose_errors(R, t, R_gt, t_gt)
+    assert rot_err < 2.0, rot_err
+    assert t_err < 5.0, t_err
+    assert inl.sum() > 70
+
+
+@pytest.mark.parametrize("n", [5, 6, 8])
+def test_estimate_relative_pose_minimal_counts(n):
+    """<= 8 noise-free correspondences suffice (the old 8-point path needed
+    >= 8)."""
+    if not native.available():
+        pytest.skip("native lib unavailable (no compiler)")
+    rs = np.random.RandomState(4)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    X = np.stack(
+        [rs.uniform(-2, 2, n), rs.uniform(-1.5, 1.5, n), rs.uniform(4, 10, n)], -1
+    )
+    ang = 0.2
+    R_gt = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+    )
+    t_gt = np.array([0.5, 0.2, 0.1])
+    X2 = X @ R_gt.T + t_gt
+    p1 = (X / X[:, 2:]) @ K.T
+    p2 = (X2 / X2[:, 2:]) @ K.T
+    out = native.estimate_relative_pose(
+        p1[:, :2], p2[:, :2], K, K, threshold=0.5, max_iters=200
+    )
+    assert out is not None
+    R, t, inl = out
+    assert inl.sum() == n
+    if n == 5:
+        # exactly 5 points: up to 10 exact solutions exist — the true pose is
+        # not identifiable; require geometric consistency instead
+        x1 = np.concatenate(
+            [(p1[:, :2] - K[:2, 2]) @ np.linalg.inv(K[:2, :2]).T, np.ones((n, 1))], -1
+        )
+        x2 = np.concatenate(
+            [(p2[:, :2] - K[:2, 2]) @ np.linalg.inv(K[:2, :2]).T, np.ones((n, 1))], -1
+        )
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+        E = tx @ R
+        res = np.abs(np.einsum("ni,ij,nj->n", x2, E, x1))
+        assert res.max() < 1e-6, res
+    else:
+        rot_err, t_err = _pose_errors(R, t, R_gt, t_gt)
+        assert rot_err < 1.0, (n, rot_err)
+        assert t_err < 2.0, (n, t_err)
