@@ -41,13 +41,105 @@ def _attn_kernel(n_valid: int, scale: float, q_ref, k_ref, v_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(
+    n_valid: int, scale: float,
+    q_ref, k_ref, v_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+):
+    """Recompute-backward for one (batch-head, q-block) grid cell.
+
+    The softmax is recomputed exactly from q/k (full row in VMEM — no
+    logsumexp residual needed); dk/dv accumulate in their f32 VMEM output
+    blocks across the sequential q-block grid dimension.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)    # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)    # (Npad, D)
+    v = v_ref[0].astype(jnp.float32)    # (Npad, D)
+    do = do_ref[0].astype(jnp.float32)  # (BQ, D)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, Npad)
+    npad = logits.shape[-1]
+    if npad != n_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+
+    # dv += p^T @ do
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = do @ v^T; ds = p * (dp - rowsum(dp * p))
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def _fused_attention_bwd_impl(q, k, v, do, block_q: int = BLOCK_Q):
+    b, h, n, d = q.shape
+    scale = 1.0 / (d**0.5)
+    npad = -(-n // block_q) * block_q
+    kpad = -(-n // 128) * 128
+
+    def prep(x, target):
+        x = x.reshape(b * h, n, d)
+        if target != n:
+            x = jnp.pad(x, ((0, 0), (0, target - n), (0, 0)))
+        return x
+
+    qp, dop = prep(q, npad), prep(do, npad)
+    kp, vp = prep(k, kpad), prep(v, kpad)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, n, scale),
+        grid=(b * h, npad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, npad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, kpad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, kpad, d), jnp.float32),
+        ],
+    )(qp, kp, vp, dop)
+    dq = dq[:, :n].reshape(b, h, n, d)
+    dk = dk[:, :n].reshape(b, h, n, d).astype(k.dtype)
+    dv = dv[:, :n].reshape(b, h, n, d).astype(v.dtype)
+    return dq, dk, dv
+
+
 @jax.custom_vjp
 def fused_attention(q, k, v):
     """q, k, v: (B, H, N, D) -> (B, H, N, D); softmax in f32 on-chip.
 
-    Differentiable: the backward pass recomputes the attention weights with
-    plain XLA einsums (standard memory-efficient recompute backward) — the
-    Pallas kernel is forward-only.
+    Differentiable: the backward is a Pallas recompute kernel with the same
+    VMEM-resident-logits structure as the forward — the (B, H, N, N) f32
+    probability/ds tensors never touch HBM in either direction. (The einsum
+    reference semantics live in ops/attention.py's sdpa fallback.)
     """
     return _fused_attention_fwd_impl(q, k, v)
 
@@ -57,21 +149,10 @@ def _fused_attention_fwd(q, k, v):
 
 
 def _fused_attention_bwd(res, do):
+    # fused_attention's forward only runs where pallas_call works (real TPU
+    # or forced interpret mode), so the backward kernel can run there too.
     q, k, v = res
-    d = q.shape[-1]
-    scale = 1.0 / (d**0.5)
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return _fused_attention_bwd_impl(q, k, v, do)
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
