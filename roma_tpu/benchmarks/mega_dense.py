@@ -50,7 +50,28 @@ class MegadepthDenseBenchmark:
         self.h, self.w = h, w
         self.rng = np.random.RandomState(seed)
 
-    def benchmark(self, model, batch_size=8, mesh=None):
+    def _dump_debug(self, debug_dir, batch_idx, batch, matches, certainty):
+        """Certainty-blended warp visualizations, one dir per pair (the
+        reference's DEBUG_MODE dumps, megadepth_dense_benchmark.py:71-91)."""
+        import os
+
+        from ..ops import grid_sample
+        from ..utils.image import to_pil
+
+        b, h1, w1 = certainty.shape[0], matches.shape[1], matches.shape[2]
+        warp_rgb = grid_sample(batch["im_B"], matches[..., 2:])  # (B,H,W,3)
+        c = np.asarray(certainty)[..., None]
+        vis = c * np.asarray(warp_rgb) + (1 - c) * np.ones_like(warp_rgb)
+        for i in range(b):
+            d = os.path.join(debug_dir, f"{batch_idx}_{i}_{h1}_{w1}")
+            os.makedirs(d, exist_ok=True)
+            to_pil(vis[i], unnormalize=True).save(os.path.join(d, "warp.jpg"))
+            to_pil(np.asarray(batch["im_A"][i]), unnormalize=True).save(
+                os.path.join(d, "im_A.jpg"))
+            to_pil(np.asarray(batch["im_B"][i]), unnormalize=True).save(
+                os.path.join(d, "im_B.jpg"))
+
+    def benchmark(self, model, batch_size=8, mesh=None, debug_dir=None):
         idxs = self.rng.choice(
             len(self.dataset), size=min(self.num_samples, len(self.dataset)), replace=False
         )
@@ -70,7 +91,10 @@ class MegadepthDenseBenchmark:
             matches, certainty = model.match(batch["im_A"], batch["im_B"], batched=True)
             if model.symmetric:
                 matches = matches[:, :, : matches.shape[2] // 2]
+                certainty = certainty[:, :, : matches.shape[2]]
             h1, w1 = matches.shape[1], matches.shape[2]
+            if debug_dir is not None:
+                self._dump_debug(debug_dir, num_batches, batch, matches, certainty)
             gd, pck1, pck3, pck5 = _geometric_dist(
                 batch["im_A_depth"], batch["im_B_depth"], batch["T_1to2"],
                 batch["K1"], batch["K2"], matches, h1=h1, w1=w1,

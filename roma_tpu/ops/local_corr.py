@@ -21,6 +21,14 @@ corners tile a (2r+2)^2 integer patch. That turns the op into:
       + a batched matvec with feature0
       + the same 4-corner combine.
 
+Gather layout: XLA:TPU gathers cost ~constant time PER ROW almost
+independent of width, so both methods fetch x-contiguous *runs* instead of
+single texels. An im2col-style unfolded table U[y, xb] = src[y, xb-m-r :
+xb-m-r+P] (x zero-padding baked in, margin m=r+1 so wholly-out-of-range
+bases read all-zero rows) turns each (P x P) patch into P row reads — a P-x
+cut in gather rows (6-8x here) for the same bytes, and removes all per-tap
+x masking. Only the dy rows still need a validity mask.
+
 Both are pure XLA with static shapes. Output is (B, H, W, K), K = (2r+1)^2,
 ordered dy-major to match the reference channel order
 (local_correlation.py:93-108).
@@ -66,15 +74,48 @@ def _base_indices(warp: jnp.ndarray, h: int, w: int):
     )
 
 
-def _patch_index_and_mask(y0, x0, radius: int, h: int, w: int):
-    """Flat indices (n, P, P) into an (h*w) map + validity mask (zeros padding)."""
+def _run_rows_and_mask(y0, x0, radius: int, h: int, w: int):
+    """Row indices (n, P) into an unfolded (h*(w+2m)) runs table + dy mask.
+
+    Row (y, xb) of the table holds the x-run starting at x = xb - m - radius;
+    the margin m = radius+2 guarantees a clipped xb reads an all-zero row
+    whenever the true base is outside [-m, w-1+m]: at xb = 0 the rightmost
+    run texel sits at x = -m + 2*radius+1 = radius-1 < 0, and at xb = wt-1
+    the leftmost sits at w-1+m-radius = w+1 >= w. Only dy validity remains.
+    """
     p = 2 * radius + 2
+    m = radius + 2
+    wt = w + 2 * m
     u = jnp.arange(p, dtype=jnp.int32) - radius
-    yy = y0[:, None, None] + u[None, :, None]  # (n, P, 1)
-    xx = x0[:, None, None] + u[None, None, :]  # (n, 1, P)
-    valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-    idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-    return idx, valid
+    yy = y0[:, None] + u[None, :]  # (n, P)
+    valid_y = (yy >= 0) & (yy < h)
+    xb = jnp.clip(x0 + m, 0, wt - 1)
+    rows = jnp.clip(yy, 0, h - 1) * wt + xb[:, None]
+    return rows, valid_y
+
+
+def _unfold_runs(src, radius: int):
+    """src (..., H, W, C) -> (..., H*(W+2m), P*C) im2col runs table.
+
+    Table row (y, xb) = src[y, xb-m-r : xb-m-r+P] with x zero padding baked
+    in (P = 2r+2, m = r+2). Costs a P-x transient of src; buys gathers that
+    read P texels per row instead of 1.
+    """
+    p = 2 * radius + 2
+    m = radius + 2
+    h, w, c = src.shape[-3:]
+    lead = src.shape[:-3]
+    # run col j at base xb: src_x = xb - m - radius + j; with left pad
+    # L = m + radius the padded index is xb + j. Right pad covers j = P-1
+    # at xb = w + 2m - 1.
+    pads = ((0, 0),) * len(lead) + ((0, 0), (m + radius, m + radius + 2), (0, 0))
+    sp = jnp.pad(src, pads)
+    wt = w + 2 * m
+    cols = [
+        jax.lax.slice_in_dim(sp, j, j + wt, axis=len(lead) + 1) for j in range(p)
+    ]
+    table = jnp.concatenate(cols, axis=-1)
+    return table.reshape(*lead, h * wt, p * c)
 
 
 def _local_corr_corrvol_single(f0, f1, warp, radius: int):
@@ -90,40 +131,78 @@ def _local_corr_corrvol_single(f0, f1, warp, radius: int):
         precision=jax.lax.Precision.HIGHEST,
     )  # (n, n) on the MXU
     y0, x0, fy, fx = _base_indices(warp.reshape(n, 2), h, w)
-    idx, valid = _patch_index_and_mask(y0, x0, radius, h, w)
-    dpatch = jnp.take_along_axis(d_full, idx.reshape(n, p * p), axis=1)
-    dpatch = dpatch.reshape(n, p, p) * valid.astype(jnp.float32)
+    # The P-x runs-unfold of the (n, h, w) volume cuts gather rows by P but
+    # costs a P-x f32 transient; past ~256 MB the extra HBM traffic loses
+    # more than the row cut wins (measured v5e: n=1225 4x faster, n=4900
+    # 30% slower). Large volumes fall back to per-texel rows.
+    if n * h * (w + 2 * (radius + 2)) * p * 4 <= 256 * 1024 * 1024:
+        rows, valid_y = _run_rows_and_mask(y0, x0, radius, h, w)
+        table = _unfold_runs(d_full.reshape(n, h, w)[..., None], radius)
+        dpatch = jnp.take_along_axis(table, rows[:, :, None], axis=1)  # (n,P,P)
+        dpatch = dpatch * valid_y[:, :, None].astype(jnp.float32)
+    else:
+        u = jnp.arange(p, dtype=jnp.int32) - radius
+        yy = y0[:, None, None] + u[None, :, None]
+        xx = x0[:, None, None] + u[None, None, :]
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        dpatch = jnp.take_along_axis(d_full, idx.reshape(n, p * p), axis=1)
+        dpatch = dpatch.reshape(n, p, p) * valid.astype(jnp.float32)
     corr = _combine_corners(dpatch, fy[:, None, None], fx[:, None, None])
     return corr.reshape(h, w, (2 * radius + 1) ** 2)
 
 
 def _local_corr_patch_single(f0, f1, warp, radius: int, pixel_chunk: int = 2048):
-    """Per-image core gathering feature patches instead of the corr volume.
+    """Per-image core gathering feature-run rows from an unfolded table.
 
-    The (n, p^2, C) patch gather is the memory hot spot at fine scales
-    (e.g. 864/8 -> n=11664, p=8, C=512); chunk over pixels with lax.map so
-    the transient stays ~pixel_chunk * p^2 * C * 4 bytes.
+    Per pixel: P row reads of width P*C (one per dy) from the runs table,
+    then one f32 matvec with feature0 and the 4-corner combine. The gather
+    transient is bounded by chunking pixels with lax.map; the table itself
+    (P x the feature bytes) is built once per image.
     """
     h, w, c = f0.shape
     n = h * w
     p = 2 * radius + 2
     y0, x0, fy, fx = _base_indices(warp.reshape(n, 2), h, w)
-    f1_flat = f1.reshape(n, c)
     f0_flat = f0.reshape(n, c).astype(jnp.float32) / jnp.sqrt(jnp.float32(c))
+    # Runs-table rows are P*C wide; XLA:TPU gathers sustain ~80 GB/s only
+    # for power-of-two row widths >= ~2 KB (measured v5e; 1536-element rows
+    # run at roughly half that). Non-pow2 shapes keep per-texel C-wide rows.
+    pc = p * c
+    use_runs = pc * f1.dtype.itemsize >= 4096 and (pc & (pc - 1)) == 0
+    table = _unfold_runs(f1, radius) if use_runs else f1.reshape(n, c)
 
     def chunk_fn(args):
         y0c, x0c, fyc, fxc, f0c = args
-        idx, valid = _patch_index_and_mask(y0c, x0c, radius, h, w)
         m = y0c.shape[0]
-        patch = jnp.take(f1_flat, idx.reshape(m * p * p), axis=0).reshape(m, p * p, c)
-        patch = patch * valid.reshape(m, p * p, 1).astype(patch.dtype)
-        dpatch = jnp.einsum(
-            "nkc,nc->nk",
-            patch.astype(jnp.float32),
-            f0c,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(m, p, p)
+        if use_runs:
+            rows, valid_y = _run_rows_and_mask(y0c, x0c, radius, h, w)
+            runs = jnp.take(table, rows.reshape(m * p), axis=0).reshape(m, p, p, c)
+            dpatch = jnp.einsum(
+                "nuvc,nc->nuv",
+                runs.astype(jnp.float32),
+                f0c,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            dpatch = dpatch * valid_y[:, :, None].astype(jnp.float32)
+        else:
+            u = jnp.arange(p, dtype=jnp.int32) - radius
+            yy = y0c[:, None, None] + u[None, :, None]
+            xx = x0c[:, None, None] + u[None, None, :]
+            valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            patch = jnp.take(table, idx.reshape(m * p * p), axis=0).reshape(
+                m, p * p, c
+            )
+            patch = patch * valid.reshape(m, p * p, 1).astype(patch.dtype)
+            dpatch = jnp.einsum(
+                "nkc,nc->nk",
+                patch.astype(jnp.float32),
+                f0c,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(m, p, p)
         return _combine_corners(dpatch, fyc[:, None, None], fxc[:, None, None])
 
     if n <= pixel_chunk:
@@ -169,8 +248,12 @@ def local_correlation(
         _local_corr_corrvol_single if method == "corrvol" else _local_corr_patch_single
     )
     if batch_chunk is None:
+        p = 2 * radius + 2
+        runs = p * c * f1.dtype.itemsize >= 4096 and ((p * c) & (p * c - 1)) == 0
         per_image = (
-            n * n * 4 if method == "corrvol" else n * (2 * radius + 2) ** 2 * c * 4
+            n * n * 4 if method == "corrvol"
+            else n * p * c * 8 if runs        # runs-table + gather transient
+            else n * p * p * c * 4            # per-texel patch transient
         )
         budget = 512 * 1024 * 1024
         batch_chunk = max(1, min(b, budget // max(per_image, 1)))
