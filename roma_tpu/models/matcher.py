@@ -27,10 +27,10 @@ import jax.numpy as jnp
 
 from ..ops import (
     cls_to_flow_refine,
-    grid_sample,
     interpolate,
     local_correlation,
     normalized_grid,
+    warp_sample,
 )
 from ..ops import pallas_refiner
 from .blocks import torch_bn, torch_conv
@@ -210,7 +210,7 @@ class ConvRefiner(nn.Module):
         """x, y: (B,H,W,C) projected A/B features; flow (B,H,W,2) A->B warp."""
         b, hs, ws, _ = x.shape
         s = self.spec
-        x_hat = grid_sample(y, flow)
+        x_hat = warp_sample(y, flow, inference=not self.train)
         grid = normalized_grid(hs, ws)
         disp = flow.astype(jnp.float32) - grid
         emb = torch_conv(

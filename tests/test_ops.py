@@ -270,3 +270,34 @@ def test_pallas_attention_grad_matches_einsum():
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "name,shape,warp_sigma,wild_frac,fixup_k",
+    [
+        ("smooth", (2, 32, 48, 6, 32, 48), 0.01, 0.0, 64),
+        ("wild-2pct", (2, 32, 32, 4, 32, 32), 0.02, 0.02, 64),
+        ("overflow-fallback", (1, 32, 32, 4, 32, 32), 0.02, 0.5, 16),
+        ("nonmult-tiles", (1, 36, 44, 5, 28, 36), 0.02, 0.0, 64),
+        ("tiny-img", (1, 12, 12, 3, 20, 20), 0.1, 0.0, 64),
+    ],
+)
+def test_windowed_grid_sample_matches_plain(name, shape, warp_sigma, wild_frac, fixup_k):
+    """Windowed one-hot warp kernel (interpret mode) vs the reference gather
+    path — incl. out-of-window fixup and the cond full-fallback."""
+    from roma_tpu.ops import grid_sample
+    from roma_tpu.ops.window_warp import WindowSpec, windowed_grid_sample
+
+    rs = np.random.RandomState(0)
+    spec = WindowSpec(th=8, tw=8, wh=24, ww=40, xq=8, pm=8, kf=fixup_k)
+    b, h, w, c, hq, wq = shape
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    gy, gx = np.meshgrid(np.linspace(-1, 1, hq), np.linspace(-1, 1, wq), indexing="ij")
+    g = np.stack([gx, gy], -1)[None].repeat(b, 0) + warp_sigma * rs.randn(b, hq, wq, 2)
+    if wild_frac:
+        m = rs.rand(b, hq, wq) < wild_frac
+        g[m] = rs.uniform(-2.5, 2.5, (int(m.sum()), 2))
+    g = jnp.asarray(g, jnp.float32)
+    got = windowed_grid_sample(x, g, spec=spec, interpret=True)
+    ref = grid_sample(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
