@@ -228,7 +228,10 @@ class ConvRefiner(nn.Module):
         # Inference fast path for the narrow-channel stacks (scale 1: C=24,
         # where XLA's NHWC convs waste 81% of the vector lanes): fold the BN
         # into the depthwise convs and run all 9 blocks as fused Pallas
-        # channel-major strip kernels (2.7x on v5e at 864^2). Same params,
+        # channel-major strip kernels (2.7x on v5e at 864^2). Wider scales
+        # stay on XLA's scanned convs — measured faster than a lane-major
+        # Pallas variant at every C in {144, 569, 1137, 1377} (see
+        # ops/pallas_refiner.py lane_refiner_stack notes). Same params,
         # read directly from this module's variable tree; training and init
         # keep the module path (BN batch stats + autodiff).
         use_fused = (

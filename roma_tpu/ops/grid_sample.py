@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 
 PACK_MAX_C = 128
+# per-image mapping threshold (see measured cliff notes below); tests patch it
+BIG_TABLE_BYTES = 100 * 1024 * 1024
 
 
 def _unnormalize(g: jnp.ndarray, n: int, align_corners: bool) -> jnp.ndarray:
@@ -88,20 +90,50 @@ def grid_sample(
     y0 = y0.astype(jnp.int32)
 
     if c <= PACK_MAX_C and padding_mode == "zeros":
+        # XLA:TPU gather throughput collapses ~3-5x once the table exceeds
+        # ~100 MB (measured v5e: 512B rows 82 -> 15 GB/s, 128B rows 28 -> 9
+        # GB/s), so big batches map per-image to keep each packed table in
+        # the fast regime. Sequential map steps cost ~us; the gathers are
+        # tens of ms.
+        table_bytes = b * (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
+        if b > 1 and table_bytes > BIG_TABLE_BYTES:
+            out = jax.lax.map(
+                lambda args: _bilinear_packed(
+                    args[0][None], args[1][None], args[2][None],
+                    args[3][None], args[4][None],
+                )[0],
+                (x, y0, x0, fy, fx),
+            )
+            return out.reshape(b, *spatial, c)
         return _bilinear_packed(x, y0, x0, fy, fx).reshape(b, *spatial, c)
 
-    acc = jnp.zeros((b, n, c), dtype=jnp.float32)
-    for dy, dx, wgt in (
-        (0, 0, (1 - fy) * (1 - fx)),
-        (0, 1, (1 - fy) * fx),
-        (1, 0, fy * (1 - fx)),
-        (1, 1, fy * fx),
-    ):
-        val, valid = gather(y0 + dy, x0 + dx)
-        if valid is not None:
-            wgt = wgt * valid[..., None]
-        acc = acc + val.astype(jnp.float32) * wgt
-    return acc.astype(x.dtype).reshape(b, *spatial, c)
+    def four_tap(x_flat, y0, x0, fy, fx):
+        bb = x_flat.shape[0]
+        acc = jnp.zeros((bb, y0.shape[1], c), dtype=jnp.float32)
+        for dy, dx, wgt in (
+            (0, 0, (1 - fy) * (1 - fx)),
+            (0, 1, (1 - fy) * fx),
+            (1, 0, fy * (1 - fx)),
+            (1, 1, fy * fx),
+        ):
+            yi, xi = y0 + dy, x0 + dx
+            if padding_mode == "zeros":
+                wgt = wgt * ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            val = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
+            acc = acc + val.astype(jnp.float32) * wgt
+        return acc.astype(x.dtype)
+
+    # same big-table cliff as the packed path: map per-image past ~100 MB
+    if b > 1 and x_flat.size * x.dtype.itemsize > BIG_TABLE_BYTES:
+        out = jax.lax.map(
+            lambda a: four_tap(
+                a[0][None], a[1][None], a[2][None], a[3][None], a[4][None]
+            )[0],
+            (x_flat, y0, x0, fy, fx),
+        )
+        return out.reshape(b, *spatial, c)
+    return four_tap(x_flat, y0, x0, fy, fx).reshape(b, *spatial, c)
 
 
 def _bilinear_packed(x: jnp.ndarray, y0, x0, fy, fx) -> jnp.ndarray:

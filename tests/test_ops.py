@@ -301,3 +301,29 @@ def test_windowed_grid_sample_matches_plain(name, shape, warp_sigma, wild_frac, 
     got = windowed_grid_sample(x, g, spec=spec, interpret=True)
     ref = grid_sample(x, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_grid_sample_per_image_map_paths():
+    """The big-table per-image lax.map branches must match the batched ones
+    (threshold patched down so small test shapes take the map path)."""
+    import importlib
+
+    gs_mod = importlib.import_module("roma_tpu.ops.grid_sample")
+
+    rs = np.random.RandomState(3)
+    x9 = jnp.asarray(rs.randn(3, 20, 24, 9), jnp.float32)     # packed path
+    x256 = jnp.asarray(rs.randn(3, 20, 24, 160), jnp.float32)  # 4-tap path
+    g = jnp.asarray(rs.uniform(-1.4, 1.4, (3, 15, 17, 2)), jnp.float32)
+    ref9 = gs_mod.grid_sample(x9, g)
+    ref256 = gs_mod.grid_sample(x256, g)
+    old = gs_mod.BIG_TABLE_BYTES
+    try:
+        gs_mod.BIG_TABLE_BYTES = 1
+        np.testing.assert_allclose(
+            np.asarray(gs_mod.grid_sample(x9, g)), np.asarray(ref9), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gs_mod.grid_sample(x256, g)), np.asarray(ref256), atol=1e-6
+        )
+    finally:
+        gs_mod.BIG_TABLE_BYTES = old

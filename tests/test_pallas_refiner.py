@@ -1,0 +1,50 @@
+"""Fused Pallas refiner kernels vs the folded XLA reference.
+
+Covers both kernels (channel-major C<=32, lane-major C>32) in interpreter
+mode on CPU, including BN folding from a real flax ConvRefiner tree.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roma_tpu.ops import pallas_refiner as pr
+
+
+def _blocks(c, n, seed=0):
+    rs = np.random.RandomState(seed)
+    blocks = []
+    for i in range(n):
+        blocks.append(
+            pr.fold_block(
+                jnp.asarray(rs.randn(5, 5, 1, c) * 0.2, jnp.float32),
+                jnp.asarray(rs.randn(c) * 0.1, jnp.float32),
+                jnp.asarray(1 + 0.1 * rs.randn(c), jnp.float32),
+                jnp.asarray(0.1 * rs.randn(c), jnp.float32),
+                jnp.asarray(0.05 * rs.randn(c), jnp.float32),
+                jnp.asarray(np.abs(1 + 0.2 * rs.randn(c)), jnp.float32),
+                jnp.asarray(rs.randn(1, 1, c, c) * (1.5 / np.sqrt(c)), jnp.float32),
+                jnp.asarray(rs.randn(c) * 0.1, jnp.float32),
+            )
+        )
+    return blocks
+
+
+@pytest.mark.parametrize(
+    "c,h,w,nb",
+    [
+        (24, 18, 22, 3),   # channel-major kernel (C <= 32)
+        (40, 14, 19, 2),   # lane-major kernel (C > 32, pads to 128 lanes)
+        (144, 11, 9, 2),   # lane-major, multi-vreg lanes
+    ],
+)
+def test_fused_refiner_stack_matches_reference(c, h, w, nb):
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
+    blocks = _blocks(c, nb)
+    ref = pr.refiner_stack_reference(x, blocks)
+    got = pr.fused_refiner_stack(x, blocks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
