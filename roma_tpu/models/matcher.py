@@ -113,15 +113,22 @@ class TransformerDecoder(nn.Module):
             (gp_posterior.astype(self.dtype), features.astype(self.dtype)), axis=-1
         )
         tokens = x.reshape(b, h * w, self.dim)
+        # lane-pad the sequence through the stack (35^2=1225 -> 1280); the
+        # padded keys are masked from the attention softmax via n_valid
+        ntok = h * w
+        npad = -(-ntok // 128) * 128
+        if npad != ntok:
+            tokens = jnp.pad(tokens, ((0, 0), (0, npad - ntok), (0, 0)))
         # reference Block defaults: qkv_bias=False, no LayerScale
         # (transformer/layers/block.py:42, roma_models.py:78)
         tokens = ScannedBlocks(
             depth=self.depth, dim=self.dim, num_heads=self.num_heads,
-            layer_scale=False, qkv_bias=False, dtype=self.dtype, name="blocks",
+            layer_scale=False, qkv_bias=False, dtype=self.dtype,
+            n_valid=ntok if npad != ntok else None, name="blocks",
         )(tokens)
         out = nn.Dense(
             self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
-        )(tokens)
+        )(tokens[:, :ntok])
         out = out.astype(jnp.float32).reshape(b, h, w, self.out_dim)
         return out[..., :-1], out[..., -1:]  # cls logits, certainty
 

@@ -44,6 +44,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     proj_bias: bool = True
     dtype: Dtype = jnp.float32
+    n_valid: int | None = None  # real tokens when the sequence is lane-padded
 
     @nn.compact
     def __call__(self, x):
@@ -54,7 +55,7 @@ class Attention(nn.Module):
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)
         qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
-        out = sdpa(qkv[0], qkv[1], qkv[2])  # (B, H, N, D)
+        out = sdpa(qkv[0], qkv[1], qkv[2], n_valid=self.n_valid)  # (B, H, N, D)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(
             c, use_bias=self.proj_bias, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
@@ -79,6 +80,7 @@ class Block(nn.Module):
     layer_scale: bool = False
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -86,7 +88,8 @@ class Block(nn.Module):
             epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
         attn_out = Attention(
-            self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
+            n_valid=self.n_valid, name="attn"
         )(ln("norm1")(x))
         if self.layer_scale:
             attn_out = LayerScale(self.dim, name="ls1")(attn_out)
@@ -112,6 +115,7 @@ class ScannedBlocks(nn.Module):
     qkv_bias: bool = True
     remat: bool = True
     dtype: Dtype = jnp.float32
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, tokens):
@@ -124,6 +128,7 @@ class ScannedBlocks(nn.Module):
                 layer_scale=self.layer_scale,
                 qkv_bias=self.qkv_bias,
                 dtype=self.dtype,
+                n_valid=self.n_valid,
                 name="block",
             )(carry)
             return out, None
@@ -186,18 +191,27 @@ class DinoV2(nn.Module):
         )
         tokens = tokens + pos.astype(tokens.dtype)
 
+        # keep the sequence padded to a lane multiple through the stack:
+        # the odd token count (gh*gw + 1) otherwise costs ~30% on every
+        # qkv/mlp matmul (measured v5e, N=1601 vs 1664); padded keys are
+        # masked out of the attention softmax via n_valid.
+        ntok = gh * gw + 1
+        npad = -(-ntok // 128) * 128
+        if npad != ntok:
+            tokens = jnp.pad(tokens, ((0, 0), (0, npad - ntok), (0, 0)))
         tokens = ScannedBlocks(
             depth=self.depth,
             dim=self.embed_dim,
             num_heads=self.num_heads,
             layer_scale=True,
             dtype=self.dtype,
+            n_valid=ntok if npad != ntok else None,
             name="blocks",
         )(tokens)
         tokens = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
         )(tokens)
-        return tokens[:, 1:].reshape(b, gh, gw, self.embed_dim)
+        return tokens[:, 1:ntok].reshape(b, gh, gw, self.embed_dim)
 
     def _interpolate_pos_encoding(self, pos_embed, gh: int, gw: int):
         """Bicubic resize of the pretraining pos-embed grid to (gh, gw),

@@ -29,12 +29,16 @@ def sdpa(
     v: jnp.ndarray,
     q_chunk: int | None = None,
     use_pallas: bool | None = None,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
-    """q, k, v: (B, H, N, D) -> (B, H, N, D). No masking (none needed here).
+    """q, k, v: (B, H, N, D) -> (B, H, N, D).
 
-    On TPU, dispatches to the Pallas fused kernel (ops/pallas_attention.py)
-    that keeps the logits in VMEM; the einsum path is the CPU/testing
-    fallback and the reference semantics.
+    ``n_valid``: number of real tokens when the sequence is padded (the ViT
+    stacks keep tokens padded to a lane multiple between blocks); keys at
+    index >= n_valid are masked out of the softmax, and rows >= n_valid are
+    don't-care. On TPU, dispatches to the Pallas fused kernel
+    (ops/pallas_attention.py) that keeps the logits in VMEM; the einsum
+    path is the CPU/testing fallback and the reference semantics.
     """
     b, h, n, d = q.shape
     if use_pallas is None:
@@ -42,7 +46,7 @@ def sdpa(
     if use_pallas:
         from .pallas_attention import fused_attention
 
-        return fused_attention(q, k, v)
+        return fused_attention(q, k, v, n_valid=n_valid)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
 
     def attend(qb):
@@ -50,6 +54,9 @@ def sdpa(
             jnp.einsum("bhqd,bhkd->bhqk", qb, k, preferred_element_type=jnp.float32)
             * scale
         )
+        if n_valid is not None and n_valid < n:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+            logits = jnp.where(col < n_valid, logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum(
             "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,

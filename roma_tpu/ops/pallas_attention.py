@@ -23,76 +23,88 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 256
 
 
-def _attn_kernel(n_valid: int, scale: float, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+def _attn_kernel(n_valid: int, scale: float, block_q: int, q_ref, k_ref, v_ref, o_ref):
+    """One batch-head per grid step; q-blocks loop INSIDE the kernel (a
+    (bh, nq) grid pays ~2.5 us/step of sequencing overhead, which dominated
+    the whole kernel at RoMa's sizes — 1792 steps for DINOv2 bs16)."""
     k = k_ref[0].astype(jnp.float32)  # (Npad, D)
     v = v_ref[0]                      # (Npad, D)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, Npad)
-    npad = logits.shape[-1]
-    if npad != n_valid:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    kpad = k.shape[0]
+    nq = q_ref.shape[1] // block_q
+
+    def body(j, _):
+        q = q_ref[0, pl.ds(j * block_q, block_q)].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, Npad)
+        if kpad != n_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n_valid, logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o_ref[0, pl.ds(j * block_q, block_q)] = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nq, body, 0)
 
 
 def _attn_bwd_kernel(
-    n_valid: int, scale: float,
+    n_valid: int, scale: float, block_q: int,
     q_ref, k_ref, v_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
 ):
-    """Recompute-backward for one (batch-head, q-block) grid cell.
+    """Recompute-backward, one batch-head per grid step (q-block loop
+    inside, like the forward). The softmax is recomputed exactly from q/k
+    (full row in VMEM — no logsumexp residual needed); dk/dv accumulate in
+    their f32 VMEM output blocks across the loop."""
+    dk_ref[0] = jnp.zeros_like(dk_ref[0])
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    The softmax is recomputed exactly from q/k (full row in VMEM — no
-    logsumexp residual needed); dk/dv accumulate in their f32 VMEM output
-    blocks across the sequential q-block grid dimension.
-    """
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
-
-    q = q_ref[0].astype(jnp.float32)    # (BQ, D)
     k = k_ref[0].astype(jnp.float32)    # (Npad, D)
     v = v_ref[0].astype(jnp.float32)    # (Npad, D)
-    do = do_ref[0].astype(jnp.float32)  # (BQ, D)
+    kpad = k.shape[0]
+    nq = q_ref.shape[1] // block_q
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, Npad)
-    npad = logits.shape[-1]
-    if npad != n_valid:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, -jnp.inf)
-    p = jax.nn.softmax(logits, axis=-1)
+    def body(j, _):
+        sl = pl.ds(j * block_q, block_q)
+        q = q_ref[0, sl].astype(jnp.float32)    # (BQ, D)
+        do = do_ref[0, sl].astype(jnp.float32)  # (BQ, D)
 
-    # dv += p^T @ do
-    dv_ref[0] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # dp = do @ v^T; ds = p * (dp - rowsum(dp * p))
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0] = (jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale).astype(dq_ref.dtype)
-    dk_ref[0] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, Npad)
+        if kpad != n_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n_valid, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1)
+
+        # dv += p^T @ do
+        dv_ref[0] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp = do @ v^T; ds = p * (dp - rowsum(dp * p))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[0, sl] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[0] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        return 0
+
+    jax.lax.fori_loop(0, nq, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _fused_attention_bwd_impl(q, k, v, do, block_q: int = BLOCK_Q):
+@functools.partial(jax.jit, static_argnames=("n_valid", "block_q"))
+def _fused_attention_bwd_impl(q, k, v, do, n_valid=None, block_q: int = BLOCK_Q):
     b, h, n, d = q.shape
+    if n_valid is None:
+        n_valid = n
     scale = 1.0 / (d**0.5)
     npad = -(-n // block_q) * block_q
     kpad = -(-n // 128) * 128
@@ -107,18 +119,18 @@ def _fused_attention_bwd_impl(q, k, v, do, block_q: int = BLOCK_Q):
     kp, vp = prep(k, kpad), prep(v, kpad)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, n, scale),
-        grid=(b * h, npad // block_q),
+        functools.partial(_attn_bwd_kernel, n_valid, scale, block_q),
+        grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, npad, d), q.dtype),
@@ -132,35 +144,45 @@ def _fused_attention_bwd_impl(q, k, v, do, block_q: int = BLOCK_Q):
     return dq, dk, dv
 
 
-@jax.custom_vjp
-def fused_attention(q, k, v):
+def fused_attention(q, k, v, n_valid: int | None = None):
     """q, k, v: (B, H, N, D) -> (B, H, N, D); softmax in f32 on-chip.
 
-    Differentiable: the backward is a Pallas recompute kernel with the same
-    VMEM-resident-logits structure as the forward — the (B, H, N, N) f32
-    probability/ds tensors never touch HBM in either direction. (The einsum
-    reference semantics live in ops/attention.py's sdpa fallback.)
+    ``n_valid`` masks keys at index >= n_valid out of the softmax (for
+    sequences kept padded between ViT blocks); rows >= n_valid are
+    don't-care. Differentiable: the backward is a Pallas recompute kernel
+    with the same VMEM-resident-logits structure as the forward — the
+    (B, H, N, N) f32 probability/ds tensors never touch HBM in either
+    direction. (The einsum reference semantics live in ops/attention.py's
+    sdpa fallback.)
     """
-    return _fused_attention_fwd_impl(q, k, v)
+    n = q.shape[2]
+    return _fused_attention_p(q, k, v, n if n_valid is None else int(n_valid))
 
 
-def _fused_attention_fwd(q, k, v):
-    return _fused_attention_fwd_impl(q, k, v), (q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention_p(q, k, v, n_valid):
+    return _fused_attention_fwd_impl(q, k, v, n_valid)
 
 
-def _fused_attention_bwd(res, do):
+def _fused_attention_fwd(q, k, v, n_valid):
+    return _fused_attention_fwd_impl(q, k, v, n_valid), (q, k, v)
+
+
+def _fused_attention_bwd(n_valid, res, do):
     # fused_attention's forward only runs where pallas_call works (real TPU
     # or forced interpret mode), so the backward kernel can run there too.
     q, k, v = res
-    return _fused_attention_bwd_impl(q, k, v, do)
+    return _fused_attention_bwd_impl(q, k, v, do, n_valid)
 
 
-fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+_fused_attention_p.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _fused_attention_fwd_impl(q, k, v, block_q: int = BLOCK_Q):
+@functools.partial(jax.jit, static_argnames=("n_valid", "block_q"))
+def _fused_attention_fwd_impl(q, k, v, n_valid=None, block_q: int = BLOCK_Q):
     b, h, n, d = q.shape
+    if n_valid is None:
+        n_valid = n
     scale = 1.0 / (d**0.5)
     npad = -(-n // block_q) * block_q
     kpad = -(-n // 128) * 128
@@ -176,15 +198,15 @@ def _fused_attention_fwd_impl(q, k, v, block_q: int = BLOCK_Q):
     vp = prep(v, kpad)
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, n, scale),
-        grid=(b * h, npad // block_q),
+        functools.partial(_attn_kernel, n_valid, scale, block_q),
+        grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kpad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kpad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, npad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, npad, d), q.dtype),
     )(qp, kp, vp)

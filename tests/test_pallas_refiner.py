@@ -48,3 +48,17 @@ def test_fused_refiner_stack_matches_reference(c, h, w, nb):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
     )
+
+
+def test_scanned_blocks_lane_padding_equivalence():
+    """Lane-padded token stacks (n_valid masking) must match unpadded."""
+    from roma_tpu.models.vit import ScannedBlocks
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 65, 64), jnp.float32)
+    mod = ScannedBlocks(depth=2, dim=64, num_heads=4, dtype=jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(vs, x)
+    modp = ScannedBlocks(depth=2, dim=64, num_heads=4, dtype=jnp.float32, n_valid=65)
+    got = modp.apply(vs, jnp.pad(x, ((0, 0), (0, 63), (0, 0))))[:, :65]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
