@@ -217,6 +217,12 @@ class ConvRefiner(nn.Module):
         """x, y: (B,H,W,C) projected A/B features; flow (B,H,W,2) A->B warp."""
         b, hs, ws, _ = x.shape
         s = self.spec
+        # NOTE: local_correlation(..., return_lookup=True) can hand back the
+        # x_hat lookup for free from the patch corners, but routing it here
+        # measured SLOWER end-to-end (4.21 -> 3.70 pairs/sec): the second
+        # consumer on the gathered patch breaks XLA's gather-einsum fusion
+        # and re-materializes the (n, P^2, C) transient. Separate lookups
+        # stay.
         x_hat = warp_sample(y, flow, inference=not self.train)
         grid = normalized_grid(hs, ws)
         disp = flow.astype(jnp.float32) - grid

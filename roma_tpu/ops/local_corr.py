@@ -35,6 +35,8 @@ ordered dy-major to match the reference channel order
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -152,13 +154,20 @@ def _local_corr_corrvol_single(f0, f1, warp, radius: int):
     return corr.reshape(h, w, (2 * radius + 1) ** 2)
 
 
-def _local_corr_patch_single(f0, f1, warp, radius: int, pixel_chunk: int = 2048):
+def _local_corr_patch_single(
+    f0, f1, warp, radius: int, pixel_chunk: int = 2048, with_lookup: bool = False
+):
     """Per-image core gathering feature-run rows from an unfolded table.
 
     Per pixel: P row reads of width P*C (one per dy) from the runs table,
     then one f32 matvec with feature0 and the 4-corner combine. The gather
     transient is bounded by chunking pixels with lax.map; the table itself
     (P x the feature bytes) is built once per image.
+
+    ``with_lookup``: also return the bilinear warp lookup of f1 (identical
+    to ``grid_sample(f1, warp)``) — its four corner vectors are the center
+    2x2 of the patch already in registers, so the matcher's separate x_hat
+    gather (matcher.py x_hat = grid_sample(y, flow)) comes for free.
     """
     h, w, c = f0.shape
     n = h * w
@@ -186,6 +195,12 @@ def _local_corr_patch_single(f0, f1, warp, radius: int, pixel_chunk: int = 2048)
                 precision=jax.lax.Precision.HIGHEST,
             )
             dpatch = dpatch * valid_y[:, :, None].astype(jnp.float32)
+            if with_lookup:
+                # center 2x2 corners, y-masked (x handled by the runs table)
+                ctr = runs[:, radius : radius + 2, radius : radius + 2, :]
+                ctr = ctr * valid_y[:, radius : radius + 2, None, None].astype(
+                    ctr.dtype
+                )
         else:
             u = jnp.arange(p, dtype=jnp.int32) - radius
             yy = y0c[:, None, None] + u[None, :, None]
@@ -196,6 +211,10 @@ def _local_corr_patch_single(f0, f1, warp, radius: int, pixel_chunk: int = 2048)
                 m, p * p, c
             )
             patch = patch * valid.reshape(m, p * p, 1).astype(patch.dtype)
+            if with_lookup:
+                ctr = patch.reshape(m, p, p, c)[
+                    :, radius : radius + 2, radius : radius + 2, :
+                ]
             dpatch = jnp.einsum(
                 "nkc,nc->nk",
                 patch.astype(jnp.float32),
@@ -203,21 +222,38 @@ def _local_corr_patch_single(f0, f1, warp, radius: int, pixel_chunk: int = 2048)
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(m, p, p)
-        return _combine_corners(dpatch, fyc[:, None, None], fxc[:, None, None])
+        corr = _combine_corners(dpatch, fyc[:, None, None], fxc[:, None, None])
+        if not with_lookup:
+            return corr
+        wy, wx = fyc[:, None], fxc[:, None]
+        xh = (
+            ctr[:, 0, 0].astype(jnp.float32) * (1 - wy) * (1 - wx)
+            + ctr[:, 0, 1].astype(jnp.float32) * (1 - wy) * wx
+            + ctr[:, 1, 0].astype(jnp.float32) * wy * (1 - wx)
+            + ctr[:, 1, 1].astype(jnp.float32) * wy * wx
+        )
+        return corr, xh.astype(f1.dtype)
 
+    k = (2 * radius + 1) ** 2
     if n <= pixel_chunk:
-        corr = chunk_fn((y0, x0, fy, fx, f0_flat))
-        return corr.reshape(h, w, (2 * radius + 1) ** 2)
+        out = chunk_fn((y0, x0, fy, fx, f0_flat))
+        if with_lookup:
+            return out[0].reshape(h, w, k), out[1].reshape(h, w, c)
+        return out.reshape(h, w, k)
 
     pad = (-n) % pixel_chunk
     def padded(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
             -1, pixel_chunk, *a.shape[1:]
         )
-    corr = jax.lax.map(
+    out = jax.lax.map(
         chunk_fn, (padded(y0), padded(x0), padded(fy), padded(fx), padded(f0_flat))
-    ).reshape(-1, (2 * radius + 1) ** 2)[:n]
-    return corr.reshape(h, w, (2 * radius + 1) ** 2)
+    )
+    if with_lookup:
+        corr = out[0].reshape(-1, k)[:n].reshape(h, w, k)
+        xh = out[1].reshape(-1, c)[:n].reshape(h, w, c)
+        return corr, xh
+    return out.reshape(-1, k)[:n].reshape(h, w, k)
 
 
 def local_correlation(
@@ -227,7 +263,8 @@ def local_correlation(
     warp: jnp.ndarray,
     method: str = "auto",
     batch_chunk: int | None = None,
-) -> jnp.ndarray:
+    return_lookup: bool = False,
+):
     """Windowed local correlation.
 
     Args:
@@ -237,16 +274,23 @@ def local_correlation(
       method: 'corrvol' | 'patch' | 'auto' (auto picks corrvol for small maps).
       batch_chunk: images per lax.map chunk (bounds transient HBM); default
         derived from the per-image working-set size.
+      return_lookup: also return ``grid_sample(f1, warp)`` computed from the
+        patch corners already gathered — free on the patch method; None on
+        the corrvol method (the volume holds dots, not feature vectors).
 
-    Returns (B, H, W, K) in f0's dtype.
+    Returns (B, H, W, K) in f0's dtype; with ``return_lookup``, a tuple
+    (corr, x_hat-or-None).
     """
     b, h, w, c = f0.shape
     n = h * w
     if method == "auto":
         method = "corrvol" if n <= 5000 else "patch"
-    core = (
-        _local_corr_corrvol_single if method == "corrvol" else _local_corr_patch_single
-    )
+    if method == "corrvol":
+        core = _local_corr_corrvol_single
+        lookup = False
+    else:
+        lookup = return_lookup
+        core = functools.partial(_local_corr_patch_single, with_lookup=lookup)
     if batch_chunk is None:
         p = 2 * radius + 2
         runs = p * c * f1.dtype.itemsize >= 4096 and ((p * c) & (p * c - 1)) == 0
@@ -263,7 +307,12 @@ def local_correlation(
         (f0, f1, warp),
         batch_size=min(batch_chunk, b),
     )
-    return out.astype(f0.dtype)
+    if not return_lookup:
+        return jax.tree.map(lambda a: a.astype(f0.dtype), out) if lookup else out.astype(f0.dtype)
+    if lookup:
+        corr, xh = out
+        return corr.astype(f0.dtype), xh
+    return out.astype(f0.dtype), None
 
 
 def corr_volume(f0: jnp.ndarray, f1: jnp.ndarray) -> jnp.ndarray:

@@ -327,3 +327,21 @@ def test_grid_sample_per_image_map_paths():
         )
     finally:
         gs_mod.BIG_TABLE_BYTES = old
+
+
+@pytest.mark.parametrize("shape", [(10, 12, 8, 2), (6, 9, 256, 3)])  # texel, runs
+def test_local_correlation_return_lookup_matches_grid_sample(shape):
+    """The fused x_hat from the patch gather must equal grid_sample(f1, warp)."""
+    h, w, c, r = shape
+    rs = np.random.RandomState(0)
+    f0 = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
+    f1 = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
+    warp = jnp.asarray(rs.uniform(-1.9, 1.9, (2, h, w, 2)), jnp.float32)
+    corr_ref = local_correlation(f0, f1, r, warp, method="patch")
+    corr, xh = local_correlation(f0, f1, r, warp, method="patch", return_lookup=True)
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(corr_ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(xh), np.asarray(grid_sample(f1, warp)), atol=1e-5
+    )
+    _, none_xh = local_correlation(f0, f1, r, warp, method="corrvol", return_lookup=True)
+    assert none_xh is None
