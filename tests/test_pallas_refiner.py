@@ -62,3 +62,38 @@ def test_scanned_blocks_lane_padding_equivalence():
     modp = ScannedBlocks(depth=2, dim=64, num_heads=4, dtype=jnp.float32, n_valid=65)
     got = modp.apply(vs, jnp.pad(x, ((0, 0), (0, 63), (0, 0))))[:, :65]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fold_refiner_tree_matches_module_eval():
+    """BN folding from a real flax ConvRefiner tree: the folded XLA chain
+    must equal the module's eval-mode block stack (the wiring the TPU fused
+    path reads from matcher.py's variable tree)."""
+    import flax.linen as nn
+
+    from roma_tpu.models.matcher import RefinerBlock, ScannedRefinerBlocks
+
+    c, h, w, nb = 12, 10, 14, 3
+    blk = dict(out_dim=c, kernel=5, dtype=jnp.float32)
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, d):
+            d = RefinerBlock(**blk, name="block1")(d)
+            return ScannedRefinerBlocks(
+                length=nb - 1, block_kwargs=blk, unroll=True, name="hidden"
+            )(d)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
+    mod = Stack()
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    # perturb batch_stats so folding is non-trivial
+    vs = jax.tree.map(lambda a: a, vs)
+    bs = jax.tree.map(lambda a: a + 0.1 * rs.randn(*a.shape).astype(a.dtype),
+                      vs["batch_stats"])
+    bs = jax.tree.map(lambda a: jnp.abs(a) + 0.05, bs)  # keep vars positive
+    vs = {"params": vs["params"], "batch_stats": bs}
+    ref = mod.apply(vs, x)
+    folded = pr.fold_refiner_tree(vs["params"], vs["batch_stats"])
+    got = pr.refiner_stack_reference(x, folded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
