@@ -13,28 +13,26 @@ smooth*, so the targets of a 64x64 query tile cluster inside a small box.
      tile's target corners, x quantized to XQ so windows come from a static
      overlapped-block unfold). Fetch each tile's (WH, WW) feature window
      with ONE wide-row gather per window row — the gather regime that runs
-     at ~80 GB/s. Window rows keep the image's natural [x][c] interleave,
-     so no channel-minor transpose is ever materialized.
-  2. Pallas kernel (one grid step per tile): build the bilinear one-hot
-     factors My (WH, T) / Mx (T, WW) from iota compares against the
-     per-query integer offsets, contract the window against My on the MXU
-     ((T, WH) @ (WH, WW*C) in x-chunks), weight by Mx and lane-reduce.
+     at ~80 GB/s. Window rows are [c][x]-major so every in-kernel reshape
+     splits on leading dims only (Mosaic cannot shape-cast unaligned minor
+     dims).
+  2. Pallas kernel (one grid step per tile, query sub-blocks via
+     fori_loop): build the bilinear one-hot factors My (WH, qs) and
+     Mx (WW, qs) from iota compares against the per-query integer offsets,
+     contract the window against My on the MXU ((WH, cc*WW)^T @ (WH, qs)
+     in channel chunks), weight by Mx and reduce over the window columns.
      The per-pixel "gather" becomes dense MXU/VPU work on VMEM-resident
      data; HBM sees each window once. Out-of-window queries are fixed up
-     IN the kernel by a second small MXU one-hot ((T, KF) @ (KF, C)) over
-     exactly-sampled values prepared in XLA.
+     IN the kernel by a second small MXU one-hot ((KF, C)^T @ (KF, qs))
+     over exactly-sampled values prepared in XLA.
   3. Exactness: queries whose target corners fall outside their tile's
      window (warp discontinuities, far out-of-image flows) are compacted
-     per tile with a sized ``jnp.nonzero`` (short parallel cumsums), their
-     true 4-tap bilinear values gathered the plain way, and scattered over
-     the kernel output by the in-kernel one-hot. If any tile overflows its
-     fixup budget, a ``lax.cond`` falls back to the reference gather path
-     for the whole batch — results are exact for EVERY input, fast for the
-     smooth warps the matcher actually produces.
-
-Output blocks are written straight into (B, H, nw, tw*C) image layout
-(merged back to NHWC by a pure minor-dim reshape), so the kernel's result
-never round-trips through a padded channel-minor transpose.
+     per tile by a Pallas triangular-matmul cumsum kernel (XLA's sized
+     ``nonzero`` costs ~120 ms at these shapes), their true 4-tap bilinear
+     values gathered the plain way, and scattered over the kernel output
+     by the in-kernel one-hot. If any tile overflows its fixup budget, a
+     ``lax.cond`` falls back to a lean chunked gather for the whole batch —
+     results are exact for EVERY input, fast for smooth warps.
 
 Zero-padding semantics come for free: windows are cut from a zero-padded
 copy of the feature map, so in-window out-of-image taps read zeros, exactly
