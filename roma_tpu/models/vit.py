@@ -18,6 +18,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import interpolate, sdpa
@@ -71,6 +72,30 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample
+    (reference layers/drop_path.py:15-32).
+
+    The reference's training-time batch-subset trick (block.py:110-131
+    runs the branch on a random subset and index_add's it back) is a
+    dynamic-shape optimization that XLA cannot express; the TPU version
+    keeps static shapes and masks — same distribution, same scaling.
+    """
+
+    rate: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), keep, (x.shape[0],) + (1,) * (x.ndim - 1)
+        )
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class Block(nn.Module):
     """Pre-norm ViT block (reference layers/block.py:36-108, eval path)."""
 
@@ -79,6 +104,8 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     layer_scale: bool = False
     qkv_bias: bool = True
+    drop_path: float = 0.0  # stochastic depth; 0 on every RoMa path
+    deterministic: bool = True
     dtype: Dtype = jnp.float32
     n_valid: int | None = None
 
@@ -87,19 +114,20 @@ class Block(nn.Module):
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
+        dp = DropPath(rate=self.drop_path, deterministic=self.deterministic)
         attn_out = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
             n_valid=self.n_valid, name="attn"
         )(ln("norm1")(x))
         if self.layer_scale:
             attn_out = LayerScale(self.dim, name="ls1")(attn_out)
-        x = x + attn_out
+        x = x + dp(attn_out)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
             ln("norm2")(x)
         )
         if self.layer_scale:
             mlp_out = LayerScale(self.dim, name="ls2")(mlp_out)
-        return x + mlp_out
+        return x + dp(mlp_out)
 
 
 class ScannedBlocks(nn.Module):

@@ -95,7 +95,12 @@ def grid_sample(
         # GB/s), so big batches map per-image to keep each packed table in
         # the fast regime. Sequential map steps cost ~us; the gathers are
         # tens of ms.
-        table_bytes = b * (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
+        # row width includes the pow2 pad_mid _bilinear_packed inserts for
+        # non-power-of-two 4C widths — the real table can be ~2x 4C
+        width = 4 * c
+        if width > 32 and (width & (width - 1)) != 0:
+            width = 1 << (width - 1).bit_length()
+        table_bytes = b * (h + 1) * (w + 1) * width * x.dtype.itemsize
         if b > 1 and table_bytes > BIG_TABLE_BYTES:
             out = jax.lax.map(
                 lambda args: _bilinear_packed(

@@ -24,7 +24,7 @@ corners tile a (2r+2)^2 integer patch. That turns the op into:
 Gather layout: XLA:TPU gathers cost ~constant time PER ROW almost
 independent of width, so both methods fetch x-contiguous *runs* instead of
 single texels. An im2col-style unfolded table U[y, xb] = src[y, xb-m-r :
-xb-m-r+P] (x zero-padding baked in, margin m=r+1 so wholly-out-of-range
+xb-m-r+P] (x zero-padding baked in, margin m=r+2 so wholly-out-of-range
 bases read all-zero rows) turns each (P x P) patch into P row reads — a P-x
 cut in gather rows (6-8x here) for the same bytes, and removes all per-tap
 x masking. Only the dy rows still need a validity mask.
@@ -284,7 +284,9 @@ def local_correlation(
     b, h, w, c = f0.shape
     n = h * w
     if method == "auto":
-        method = "corrvol" if n <= 5000 else "patch"
+        # return_lookup only exists on the patch method (the corrvol holds
+        # dots, not feature vectors) — don't let auto silently drop x_hat
+        method = "patch" if return_lookup else ("corrvol" if n <= 5000 else "patch")
     if method == "corrvol":
         core = _local_corr_corrvol_single
         lookup = False

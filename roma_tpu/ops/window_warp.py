@@ -157,10 +157,19 @@ def _compact_kernel(miss_ref, tri_ref, o_ref, *, t, kf, qs):
     o_ref[0] = (pos + (1.0 - found) * t).astype(jnp.int32)
 
 
+def _query_subblock(t: int, cap: int) -> int:
+    """Largest divisor of ``t`` <= cap — the kernels iterate t // qs query
+    sub-blocks and would silently drop a remainder otherwise."""
+    qs = min(t, cap)
+    while t % qs:
+        qs -= 1
+    return qs
+
+
 def _compact_miss(miss, t, kf, interpret=False):
     """(bnt, 1, T) bool -> (bnt, KF, 1) int32 miss positions (sentinel T)."""
     bnt = miss.shape[0]
-    qs = min(t, 1024)
+    qs = _query_subblock(t, 1024)
     ii = jnp.arange(qs, dtype=jnp.int32)
     tri = (ii[:, None] >= ii[None, :]).astype(jnp.float32)  # L[q, q'] = q' <= q
     return pl.pallas_call(
@@ -298,7 +307,7 @@ def windowed_grid_sample(
         # and shrink the query sub-block for wide channels so the whole
         # working set (double-buffered window + t1 + My/Mx) stays under
         # the 16 MB VMEM scope
-        qs = min(t, 1024 if c <= 16 else 512)
+        qs = _query_subblock(t, 1024 if c <= 16 else 512)
         cchunk = min(c, max(1, 2_000_000 // (ww * qs * 4)))
         out = pl.pallas_call(
             functools.partial(_kernel, spec=spec, c=c, qs=qs, cchunk=cchunk),

@@ -35,8 +35,7 @@ def _blocks(c, n, seed=0):
     "c,h,w,nb",
     [
         (24, 18, 22, 3),   # channel-major kernel (C <= 32)
-        (40, 14, 19, 2),   # lane-major kernel (C > 32, pads to 128 lanes)
-        (144, 11, 9, 2),   # lane-major, multi-vreg lanes
+        (16, 40, 31, 9),   # full-depth chunked stack
     ],
 )
 def test_fused_refiner_stack_matches_reference(c, h, w, nb):
@@ -45,6 +44,27 @@ def test_fused_refiner_stack_matches_reference(c, h, w, nb):
     blocks = _blocks(c, nb)
     ref = pr.refiner_stack_reference(x, blocks)
     got = pr.fused_refiner_stack(x, blocks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "c,h,w,nb",
+    [
+        (40, 14, 19, 2),   # pads to 128 lanes
+        (144, 11, 9, 2),   # multi-vreg lanes
+    ],
+)
+def test_lane_refiner_stack_matches_reference(c, h, w, nb):
+    """The lane-major kernel is not routed by fused_refiner_stack (measured
+    slower than XLA's scanned convs at RoMa's wide-C shapes) — exercise it
+    directly so the documented experiment stays parity-true."""
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
+    blocks = _blocks(c, nb)
+    ref = pr.refiner_stack_reference(x, blocks)
+    got = pr.lane_refiner_stack(x, blocks, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
     )
