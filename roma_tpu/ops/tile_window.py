@@ -205,9 +205,14 @@ def _warp_kernel(
     jax.lax.fori_loop(0, nq, body, 0, unroll=True)
 
 
-def _plan(flow, h, w, spec: WarpSpec):
+def _plan(flow, h, w, spec, radius: int = 0):
     """Shared windowing plan: tile-major index fields, window origins,
-    in-window tests and the needs-fix mask (miss AND touches image)."""
+    in-window tests and the needs-fix mask (miss AND touches image).
+
+    ``radius``: extra in-window margin for kernels that read an integer
+    (2r+2)^2 tap patch around each base (windowed local correlation);
+    0 for the plain bilinear warp lookup.
+    """
     b = flow.shape[0]
     hq, wq = flow.shape[1], flow.shape[2]
     n = hq * wq
@@ -246,8 +251,14 @@ def _plan(flow, h, w, spec: WarpSpec):
 
     yl = (y0t + pm) - oy[..., None]
     xl = (x0t + pm) - (jx * xq)[..., None]
-    inw = (yl >= 0) & (yl <= wh - 2) & (xl >= 0) & (xl <= ww - 2)
-    touches = (y0t >= -1) & (y0t <= h - 1) & (x0t >= -1) & (x0t <= w - 1)
+    r = radius
+    inw = (
+        (yl >= r) & (yl <= wh - 2 - r) & (xl >= r) & (xl <= ww - 2 - r)
+    )
+    touches = (
+        (y0t >= -1 - r) & (y0t <= h - 1 + r)
+        & (x0t >= -1 - r) & (x0t <= w - 1 + r)
+    )
     needfix = ~inw & touches
     counts = jnp.sum(needfix, axis=-1)  # (B, nt)
 
@@ -404,4 +415,372 @@ def windowed_warp(
 
     return jax.lax.cond(
         n_over <= nt_bad, lambda _: windowed, lean_fallback, operand=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed local correlation (fine decoder scales)
+# ---------------------------------------------------------------------------
+#
+# The (2r+1)^2-tap local correlation (reference
+# romatch/utils/local_correlation.py:39-74, the fused-local-corr CUDA
+# extension's semantics) at the fine scales is gather-bound in the XLA
+# formulation (ops/local_corr.py patch method: n * P^2 * C gathered bytes;
+# measured 446 ms/batch across s8-up/s4-up/s4-coarse). Windowed
+# reformulation: a 16x16 query tile's integer tap patches all live in one
+# 48x48 feature window, so
+#
+#   dpatch[q, u, v] = f0[q] . f1[y0_q+u-r, x0_q+v-r]
+#                   = D[yl_q+u-r, xl_q+v-r, q],
+#   D = W_flat @ f0_tile^T    (one MXU matmul per tile x channel-chunk)
+#
+# and the per-query patch extraction is a factored one-hot masking over the
+# tile corrvol D (VPU, P*wh*ww + P^2*wh ops per query-block) — HBM sees
+# each window once per channel-chunk and never materializes D. The 4-corner
+# bilinear combine stays in XLA (identical to local_corr._combine_corners).
+
+
+@dataclass(frozen=True)
+class CorrSpec:
+    th: int = 16
+    tw: int = 16
+    wh: int = 48
+    xq: int = 8
+    ns: int = 6
+    pm: int = 16
+    kf: int = 8         # per-tile fixup slots (exact XLA patches)
+    nt_bad: int = 48    # over-budget tiles recomputed exactly
+    cc: int = 128       # channel chunk
+
+    @property
+    def t(self) -> int:
+        return self.th * self.tw
+
+    @property
+    def ww(self) -> int:
+        return self.ns * self.xq
+
+
+def _corr_kernel(
+    oy_s, jx_s, img_s,
+    yl_ref, xl_ref, fpos_ref, fdp_ref, f0_ref,
+    tab_ref,
+    o_ref,
+    win, dacc, sems,
+    *, spec: CorrSpec, radius: int,
+):
+    i = pl.program_id(0)
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+    wh, xq, ns, t, kf, cc = spec.wh, spec.xq, spec.ns, spec.t, spec.kf, spec.cc
+    ww = spec.ww
+    p = 2 * radius + 2
+    pp = p * p
+    f32 = jnp.float32
+
+    step = i * nc + ci
+    slot = jax.lax.rem(step, 2)
+
+    def start(ti, cj, sl):
+        pltpu.make_async_copy(
+            tab_ref.at[
+                img_s[ti], pl.ds(oy_s[ti], wh), pl.ds(jx_s[ti], ns), :,
+                pl.ds(cj * cc, cc),
+            ],
+            win.at[sl],
+            sems.at[sl],
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start(i, ci, slot)
+
+    @pl.when(step + 1 < pl.num_programs(0) * nc)
+    def _():
+        nxt_wrap = ci + 1 == nc
+        ni = jnp.where(nxt_wrap, i + 1, i)
+        ncj = jnp.where(nxt_wrap, 0, ci + 1)
+        start(ni, ncj, 1 - slot)
+
+    pltpu.make_async_copy(
+        tab_ref.at[0, pl.ds(0, wh), pl.ds(0, ns), :, pl.ds(0, cc)],
+        win.at[slot],
+        sems.at[slot],
+    ).wait()
+
+    f0c = f0_ref[0, 0]  # (cc, T)
+
+    def ybody(k, _):
+        w2 = win[slot, pl.ds(2 * k, 2)]          # (2, ns, xq, cc)
+        w2 = w2.reshape(2 * ww, cc)              # leading merge only
+        d2 = jax.lax.dot_general(
+            w2, f0c, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        ).reshape(2, ww, t)
+        prev = dacc[pl.ds(2 * k, 2)]
+        dacc[pl.ds(2 * k, 2)] = jnp.where(ci == 0, d2, prev + d2)
+        return 0
+
+    jax.lax.fori_loop(0, wh // 2, ybody, 0, unroll=True)
+
+    @pl.when(ci == nc - 1)
+    def _():
+        yl = yl_ref[0]   # (1, T)
+        xl = xl_ref[0]
+        ok = (
+            (yl >= radius) & (yl <= wh - 2 - radius)
+            & (xl >= radius) & (xl <= ww - 2 - radius)
+        )
+        fpos = fpos_ref[0]  # (KF, 1)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (kf, t), 1)
+        onehot = (qi == fpos).astype(f32)
+        fix = jax.lax.dot_general(
+            fdp_ref[0], onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (PP, T)
+
+        xi = jax.lax.broadcasted_iota(jnp.int32, (ww, t), 0)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (wh, t), 0)
+        d_all = dacc[...]  # (wh, ww, T)
+        rows = []
+        for v in range(p):
+            mxv = (xi == xl + (v - radius)).astype(f32)
+            xs = jnp.sum(d_all * mxv[None, :, :], axis=1)  # (wh, T)
+            for u in range(p):
+                myu = (yi == yl + (u - radius)).astype(f32)
+                rows.append(jnp.sum(xs * myu, axis=0, keepdims=True))
+        # rows were appended (v, u)-ordered; dpatch rows must be u*P+v
+        dp = jnp.concatenate(
+            [rows[v * p + u] for u in range(p) for v in range(p)], axis=0
+        )  # (PP, T), row u*P+v
+        out = jnp.where(ok, dp, 0.0) + fix
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _exact_dpatch(f1_flat, img_rows, y0, x0, f0vec, radius, h, w, c):
+    """Masked corner-dot patches for arbitrary query sets.
+
+    y0/x0 (...,) integer tap bases (original coords), f0vec (..., C) already
+    scaled by 1/sqrt(C). Returns (..., P, P) f32, matching the kernel's
+    dpatch semantics (out-of-image taps contribute 0).
+    """
+    p = 2 * radius + 2
+    u = jnp.arange(p, dtype=jnp.int32) - radius
+    yy = y0[..., None, None] + u[:, None]
+    xx = x0[..., None, None] + u[None, :]
+    valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+    rows = (
+        img_rows[..., None, None]
+        + jnp.clip(yy, 0, h - 1) * w
+        + jnp.clip(xx, 0, w - 1)
+    )
+    vals = jnp.take(f1_flat, rows.reshape(-1), axis=0).reshape(rows.shape + (c,))
+    dp = jnp.einsum(
+        "...uvc,...c->...uv",
+        vals.astype(jnp.float32),
+        f0vec.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return dp * valid.astype(jnp.float32)
+
+
+def _combine_corners(dpatch, fy, fx):
+    """(..., P, P) corner dots -> (..., K) bilinear taps (K=(P-1)^2),
+    identical to ops/local_corr._combine_corners / the reference channel
+    order (local_correlation.py:93-108)."""
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+    out = (
+        w00 * dpatch[..., :-1, :-1]
+        + w01 * dpatch[..., :-1, 1:]
+        + w10 * dpatch[..., 1:, :-1]
+        + w11 * dpatch[..., 1:, 1:]
+    )
+    s = out.shape
+    return out.reshape(*s[:-2], s[-2] * s[-1])
+
+
+def _tile_vector_fields(a, hq, wq, th, tw):
+    """(B, Hq, Wq, C) -> (B*nt, T, C) tile-major (edge-padded)."""
+    b, _, _, c = a.shape
+    ph, pw = (-hq) % th, (-wq) % tw
+    if ph or pw:
+        a = jnp.pad(a, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    nh, nw = a.shape[1] // th, a.shape[2] // tw
+    a = a.reshape(b, nh, th, nw, tw, c).transpose(0, 1, 3, 2, 4, 5)
+    return a.reshape(b * nh * nw, th * tw, c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "spec", "interpret")
+)
+def windowed_local_corr(
+    f0: jnp.ndarray,
+    f1: jnp.ndarray,
+    radius: int,
+    flow: jnp.ndarray,
+    spec: CorrSpec = CorrSpec(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed-tile local correlation: exact replacement for
+    ``local_correlation(f0, f1, radius, flow)`` (ops/local_corr.py) at the
+    fine scales. f0, f1 (B, H, W, C); flow (B, H, W, 2); returns
+    (B, H, W, (2r+1)^2) in f0.dtype.
+    """
+    b, h, w, c = f0.shape
+    th, tw, wh, xq, ns, pm, kf, cc = (
+        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf, spec.cc
+    )
+    ww, t = spec.ww, spec.t
+    p_ = 2 * radius + 2
+    pp = p_ * p_
+    k_out = (2 * radius + 1) ** 2
+
+    from .local_corr import _local_corr_patch_single
+
+    if (
+        h + 2 * pm < wh
+        or -(-(w + 2 * pm) // xq) * xq < ww + xq
+        or pm < radius + 1
+    ):
+        out = jax.lax.map(
+            lambda args: _local_corr_patch_single(*args, radius), (f0, f1, flow)
+        )
+        return out.astype(f0.dtype)
+
+    plan = _plan(flow, h, w, spec, radius=radius)
+    nt, nh, nw, hp, wpx, njq = (
+        plan["nt"], plan["nh"], plan["nw"], plan["hp"], plan["wpx"], plan["njq"]
+    )
+    bnt = b * nt
+
+    # channel pad to a cc multiple (zero channels contribute 0 to the dots)
+    cpad = -(-c // cc) * cc
+    nc = cpad // cc
+    scale = 1.0 / jnp.sqrt(jnp.float32(c))
+    if cpad != c:
+        f1p = jnp.pad(f1, ((0, 0), (0, 0), (0, 0), (0, cpad - c)))
+        f0p = jnp.pad(f0, ((0, 0), (0, 0), (0, 0), (0, cpad - c)))
+    else:
+        f1p, f0p = f1, f0
+
+    xp = jnp.pad(f1p, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
+    table = xp.reshape(b, hp, njq, xq, cpad)
+
+    f0t = _tile_vector_fields(
+        (f0p.astype(jnp.float32) * scale).astype(f1.dtype), h, w, th, tw
+    )  # (bnt, T, Cp)
+    f0r = jnp.swapaxes(f0t, 1, 2).reshape(bnt, nc, cc, t)
+
+    # fixup slots: exact dpatches for compacted needs-fix queries
+    fpos = _compact_miss(
+        plan["needfix"].reshape(bnt, 1, t), t, kf, interpret=interpret
+    )
+    sel = jnp.minimum(fpos[:, :, 0], t - 1)
+    y0_k = jnp.take_along_axis(plan["y0t"].reshape(bnt, t), sel, axis=1)
+    x0_k = jnp.take_along_axis(plan["x0t"].reshape(bnt, t), sel, axis=1)
+    f0_k = jnp.take_along_axis(f0t, sel[..., None], axis=1).astype(jnp.float32)
+    f1_flat = f1p.reshape(b * h * w, cpad)
+    img_rows = (jnp.arange(bnt, dtype=jnp.int32) // nt * (h * w))[:, None]
+
+    tile_chunk = max(1, min(bnt, (64 * 1024 * 1024) // (kf * pp * cpad * 4)))
+    nch = -(-bnt // tile_chunk)
+    padn = nch * tile_chunk - bnt
+
+    def padded(a):
+        return jnp.pad(
+            a, ((0, padn),) + ((0, 0),) * (a.ndim - 1)
+        ).reshape(nch, tile_chunk, *a.shape[1:])
+
+    fdp = jax.lax.map(
+        lambda args: _exact_dpatch(f1_flat, *args, radius, h, w, cpad),
+        (padded(img_rows), padded(y0_k), padded(x0_k), padded(f0_k)),
+    ).reshape(nch * tile_chunk, kf, pp)[:bnt]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bnt, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, t), lambda i, ci, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i, ci, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kf, 1), lambda i, ci, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kf, pp), lambda i, ci, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cc, t), lambda i, ci, *_: (i, ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pp, t), lambda i, ci, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wh, ns, xq, cc), f1.dtype),
+            pltpu.VMEM((wh, ww, t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_corr_kernel, spec=spec, radius=radius),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bnt, pp, t), jnp.float32),
+        interpret=interpret,
+    )(
+        plan["oy"].reshape(bnt).astype(jnp.int32),
+        plan["jx"].reshape(bnt).astype(jnp.int32),
+        (jnp.arange(bnt, dtype=jnp.int32) // nt),
+        plan["yl"].reshape(bnt, 1, t),
+        plan["xl"].reshape(bnt, 1, t),
+        fpos,
+        fdp.astype(jnp.float32),
+        f0r,
+        table,
+    )
+
+    # bounded exact recompute of over-budget tiles
+    counts = plan["counts"].reshape(bnt)
+    nt_bad = min(spec.nt_bad, bnt)
+    bad_c, bad_i = jax.lax.top_k(counts, nt_bad)
+    y0_b = jnp.take(plan["y0t"].reshape(bnt, t), bad_i, axis=0)
+    x0_b = jnp.take(plan["x0t"].reshape(bnt, t), bad_i, axis=0)
+    f0_b = jnp.take(f0t, bad_i, axis=0).astype(jnp.float32)
+    img_b = (bad_i // nt * (h * w))[:, None]
+    bchunk = max(1, min(nt_bad, (64 * 1024 * 1024) // (t * pp * cpad * 4)))
+    nbc = -(-nt_bad // bchunk)
+    padb = nbc * bchunk - nt_bad
+
+    def paddedb(a):
+        return jnp.pad(
+            a, ((0, padb),) + ((0, 0),) * (a.ndim - 1)
+        ).reshape(nbc, bchunk, *a.shape[1:])
+
+    vals_b = jax.lax.map(
+        lambda args: _exact_dpatch(f1_flat, *args, radius, h, w, cpad),
+        (paddedb(img_b), paddedb(y0_b), paddedb(x0_b), paddedb(f0_b)),
+    ).reshape(nbc * bchunk, t, pp)[:nt_bad]
+    vals_b = jnp.swapaxes(vals_b, 1, 2)  # (nt_bad, PP, T)
+    keep = (bad_c > kf)[:, None, None]
+    merged = jnp.where(keep, vals_b, jnp.take(out, bad_i, axis=0))
+    out = out.at[bad_i].set(merged)
+
+    # untile -> (B, H, W, P, P) -> corner combine -> (B, H, W, K)
+    out = out.reshape(b, nh, nw, pp, th, tw).transpose(0, 1, 4, 2, 5, 3)
+    dp = out.reshape(b, nh * th, nw * tw, pp)[:, :h, :w].reshape(
+        b, h, w, p_, p_
+    )
+    g = flow.astype(jnp.float32)
+    ix = (g[..., 0] + 1) * w / 2 - 0.5
+    iy = (g[..., 1] + 1) * h / 2 - 0.5
+    fx = (ix - jnp.floor(ix))[..., None, None]
+    fy = (iy - jnp.floor(iy))[..., None, None]
+    windowed = _combine_corners(dp, fy, fx).astype(f0.dtype)
+
+    n_over = jnp.sum(counts > kf)
+
+    def fallback(_):
+        out = jax.lax.map(
+            lambda args: _local_corr_patch_single(*args, radius), (f0, f1, flow)
+        )
+        return out.astype(f0.dtype)
+
+    return jax.lax.cond(
+        n_over <= nt_bad, lambda _: windowed, fallback, operand=None
     )

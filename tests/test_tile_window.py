@@ -86,3 +86,69 @@ def test_small_image_falls_back_to_plain():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(grid_sample(x, flow)), atol=1e-5, rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed local correlation
+# ---------------------------------------------------------------------------
+
+def _cspec(**kw):
+    from roma_tpu.ops.tile_window import CorrSpec
+
+    base = dict(th=8, tw=8, wh=24, xq=8, ns=4, pm=8, kf=4, nt_bad=8, cc=8)
+    base.update(kw)
+    return CorrSpec(**base)
+
+
+@pytest.mark.parametrize("kind", ["smooth", "offimage", "speckle", "wild"])
+@pytest.mark.parametrize("radius", [1, 2])
+def test_windowed_local_corr_matches_reference(kind, radius):
+    from roma_tpu.ops.local_corr import local_correlation
+    from roma_tpu.ops.tile_window import windowed_local_corr
+
+    b, h, w, c = 2, 40, 40, 24  # c = 3 chunks of cc=8
+    rs = np.random.RandomState(radius)
+    f0 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    f1 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    flow = _flow(h, w, b, kind, seed=radius)
+    ref = local_correlation(f0, f1, radius, flow, method="patch")
+    got = windowed_local_corr(
+        f0, f1, radius, flow, spec=_cspec(), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_windowed_local_corr_channel_pad():
+    """C not a multiple of the chunk: zero-padded channels must not change
+    the dots."""
+    from roma_tpu.ops.local_corr import local_correlation
+    from roma_tpu.ops.tile_window import windowed_local_corr
+
+    b, h, w, c = 1, 40, 40, 13
+    rs = np.random.RandomState(0)
+    f0 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    f1 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    flow = _flow(h, w, b, "smooth", seed=9)
+    ref = local_correlation(f0, f1, 2, flow, method="patch")
+    got = windowed_local_corr(f0, f1, 2, flow, spec=_cspec(), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_windowed_local_corr_small_image_fallback():
+    from roma_tpu.ops.local_corr import local_correlation
+    from roma_tpu.ops.tile_window import windowed_local_corr
+
+    b, h, w, c = 1, 12, 12, 8
+    rs = np.random.RandomState(3)
+    f0 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    f1 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    flow = _flow(h, w, b, "smooth", seed=11)
+    ref = local_correlation(f0, f1, 2, flow, method="patch")
+    got = windowed_local_corr(f0, f1, 2, flow, spec=_cspec(), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
