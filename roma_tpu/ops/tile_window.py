@@ -113,20 +113,29 @@ def _exact_taps(x_flat, img_rows, y0, x0, fy, fx, h, w, c):
 def _warp_kernel(
     oy_s, jx_s, img_s,          # scalar-prefetch (bnt,) int32
     yl_ref, fy_ref, xl_ref, fx_ref, fpos_ref, fval_ref,  # VMEM per-tile
-    tab_ref,                     # ANY (B, Hp, NJ, XQ*C)
+    tab_ref,                     # ANY (NJ, B, Hp, m, chunkw)
     o_ref,                       # VMEM (1, C, T)
-    win, sems,                   # scratch: (2, ns, wh, xqc), DMA sems (2, ns)
-    *, spec: WarpSpec, c: int, qs: int, nt: int,
+    win, sems,                   # scratch: (2, ns, wh, m, chunkw), sems (2, ns)
+    *, spec: WarpSpec, c: int, qs: int, m: int,
 ):
+    """Per-tile windowed bilinear sampling.
+
+    The table's sliced dims (segment jx+s, image, window rows oy) are all
+    LEADING — Mosaic tiles HBM memrefs on the trailing two dims (m, chunkw)
+    which are always copied whole. The [x][c]-major window row is split
+    into ``m`` lane-aligned chunks; each chunk is one (wh, chunkw) MXU
+    dot against the y one-hots, and the chunk results concatenate back to
+    the flat (xq*c, qs) row order before the leading-dim split to
+    (xq, c, qs) for the x-selection.
+    """
     i = pl.program_id(0)
     wh, xq, ns, t, kf = spec.wh, spec.xq, spec.ns, spec.t, spec.kf
-    xqc = xq * c
     nq = t // qs
 
     def start_tile(ti, buf):
         for s in range(ns):
             pltpu.make_async_copy(
-                tab_ref.at[img_s[ti], pl.ds(oy_s[ti], wh), jx_s[ti] + s, :],
+                tab_ref.at[jx_s[ti] + s, img_s[ti], pl.ds(oy_s[ti], wh)],
                 win.at[buf, s],
                 sems.at[buf, s],
             ).start()
@@ -134,7 +143,7 @@ def _warp_kernel(
     def wait_tile(buf):
         for s in range(ns):
             pltpu.make_async_copy(
-                tab_ref.at[0, pl.ds(0, wh), 0, :], win.at[buf, s], sems.at[buf, s]
+                tab_ref.at[0, 0, pl.ds(0, wh)], win.at[buf, s], sems.at[buf, s]
             ).wait()
 
     buf = jax.lax.rem(i, 2)
@@ -170,27 +179,36 @@ def _warp_kernel(
         ok = (yl >= 0) & (yl <= wh - 2) & (xl >= 0) & (xl <= spec.ww - 2)
 
         ri = jax.lax.broadcasted_iota(jnp.int32, (wh, qs), 0)
+        if spec.dots == "bf16x2":
+            my0 = (ri == yl).astype(jnp.bfloat16)
+            my1 = (ri == yl + 1).astype(jnp.bfloat16)
+        else:
+            my = jnp.where(ri == yl, 1.0 - fy, 0.0) + jnp.where(
+                ri == yl + 1, fy, 0.0
+            )
         acc = jnp.zeros((c, qs), f32)
         for s in range(ns):
-            w_s = win[buf, s]          # (wh, xqc)
-            if spec.dots == "bf16x2":
-                my0 = (ri == yl).astype(jnp.bfloat16)
-                my1 = (ri == yl + 1).astype(jnp.bfloat16)
-                t0 = jax.lax.dot_general(
-                    w_s, my0, (((0,), (0,)), ((), ())), preferred_element_type=f32
-                )
-                t1 = jax.lax.dot_general(
-                    w_s, my1, (((0,), (0,)), ((), ())), preferred_element_type=f32
-                )
-                tm = t0 * (1.0 - fy) + t1 * fy      # (xqc, qs)
-            else:
-                my = jnp.where(ri == yl, 1.0 - fy, 0.0) + jnp.where(
-                    ri == yl + 1, fy, 0.0
-                )
-                tm = jax.lax.dot_general(
-                    w_s.astype(f32), my, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
+            parts = []
+            for j in range(m):
+                w_j = win[buf, s, :, j]     # (wh, chunkw)
+                if spec.dots == "bf16x2":
+                    t0 = jax.lax.dot_general(
+                        w_j, my0, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    t1 = jax.lax.dot_general(
+                        w_j, my1, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    parts.append(t0 * (1.0 - fy) + t1 * fy)
+                else:
+                    parts.append(
+                        jax.lax.dot_general(
+                            w_j.astype(f32), my, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                        )
+                    )
+            tm = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
             tm3 = tm.reshape(xq, c, qs)             # leading split only
             ci = jax.lax.broadcasted_iota(jnp.int32, (xq, qs), 0) + s * xq
             sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
@@ -294,9 +312,13 @@ def windowed_warp(
     nt, nh, nw, hp, wpx, njq = p["nt"], p["nh"], p["nw"], p["hp"], p["wpx"], p["njq"]
     bnt = b * nt
 
-    # segment table: pure pad + reshape, no transpose, no duplication
+    # segment table (NJ, B, Hp, m, chunkw): sliced dims (segment, image,
+    # window rows) all leading; the trailing-two tiled dims copied whole.
+    xqc = xq * c
+    chunkw = 128 if xqc % 128 == 0 else xqc
+    m = xqc // chunkw
     xp = jnp.pad(x, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
-    table = xp.reshape(b, hp, njq, xq * c)
+    table = xp.reshape(b, hp, njq, m, chunkw).transpose(2, 0, 1, 3, 4)
 
     # fixup slots: compact the needs-fix queries, gather their exact taps
     fpos = _compact_miss(
@@ -335,12 +357,12 @@ def windowed_warp(
             (1, c, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ns, wh, xq * c), x.dtype),
+            pltpu.VMEM((2, ns, wh, m, chunkw), x.dtype),
             pltpu.SemaphoreType.DMA((2, ns)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, spec=spec, c=c, qs=qs, nt=nt),
+        functools.partial(_warp_kernel, spec=spec, c=c, qs=qs, m=m),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bnt, c, t), x.dtype),
         interpret=interpret,
@@ -481,11 +503,13 @@ def _corr_kernel(
     step = i * nc + ci
     slot = jax.lax.rem(step, 2)
 
+    # table is (nc, B, Hp, NJ, XQ, cc): every sliced dim is LEADING — the
+    # last two dims (xq, cc) are copied whole. Mosaic tiles HBM memrefs on
+    # their trailing two dims, so DMA slices there are illegal/padded.
     def start(ti, cj, sl):
         pltpu.make_async_copy(
             tab_ref.at[
-                img_s[ti], pl.ds(oy_s[ti], wh), pl.ds(jx_s[ti], ns), :,
-                pl.ds(cj * cc, cc),
+                cj, img_s[ti], pl.ds(oy_s[ti], wh), pl.ds(jx_s[ti], ns)
             ],
             win.at[sl],
             sems.at[sl],
@@ -503,7 +527,7 @@ def _corr_kernel(
         start(ni, ncj, 1 - slot)
 
     pltpu.make_async_copy(
-        tab_ref.at[0, pl.ds(0, wh), pl.ds(0, ns), :, pl.ds(0, cc)],
+        tab_ref.at[0, 0, pl.ds(0, wh), pl.ds(0, ns)],
         win.at[slot],
         sems.at[slot],
     ).wait()
@@ -666,7 +690,9 @@ def windowed_local_corr(
         f1p, f0p = f1, f0
 
     xp = jnp.pad(f1p, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
-    table = xp.reshape(b, hp, njq, xq, cpad)
+    # (nc, B, Hp, NJ, XQ, cc): channel-chunk major so in-kernel DMA slices
+    # only leading dims (see _corr_kernel notes)
+    table = xp.reshape(b, hp, njq, xq, nc, cc).transpose(4, 0, 1, 2, 3, 5)
 
     f0t = _tile_vector_fields(
         (f0p.astype(jnp.float32) * scale).astype(f1.dtype), h, w, th, tw
