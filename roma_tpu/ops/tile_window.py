@@ -381,7 +381,7 @@ def windowed_warp(
 
     # bounded exact recompute of over-budget tiles
     counts = p["counts"].reshape(bnt)
-    nt_bad = min(spec.nt_bad, bnt)
+    nt_bad = min(max(spec.nt_bad, bnt // 24), bnt)
     bad_c, bad_i = jax.lax.top_k(counts, nt_bad)
     img_rows_b = (bad_i // nt * (h * w))[:, None]
     y0_b = jnp.take(p["y0t"].reshape(bnt, t), bad_i, axis=0)
@@ -470,8 +470,9 @@ class CorrSpec:
     xq: int = 8
     ns: int = 6
     pm: int = 16
-    kf: int = 8         # per-tile fixup slots (exact XLA patches)
-    nt_bad: int = 48    # over-budget tiles recomputed exactly
+    kf: int = 16        # per-tile fixup slots (exact XLA patches)
+    nt_bad: int = 48    # min over-budget tiles recomputed exactly (scales
+                        # with tile count at call time: max(nt_bad, bnt/24))
     cc: int = 128       # channel chunk
 
     @property
@@ -534,17 +535,13 @@ def _corr_kernel(
 
     f0c = f0_ref[0, 0]  # (cc, T)
 
-    def ybody(k, _):
-        w2 = win[slot, pl.ds(2 * k, 2)]          # (2, ns, xq, cc)
-        w2 = w2.reshape(2 * ww, cc)              # leading merge only
-        d2 = jax.lax.dot_general(
-            w2, f0c, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        ).reshape(2, ww, t)
-        prev = dacc[pl.ds(2 * k, 2)]
-        dacc[pl.ds(2 * k, 2)] = jnp.where(ci == 0, d2, prev + d2)
-        return 0
-
-    jax.lax.fori_loop(0, wh // 2, ybody, 0, unroll=True)
+    # one big MXU dot per (tile, chunk): (wh*ww, cc) @ (cc, T) — the whole
+    # window flattens by a leading-dims merge (minor dim cc unchanged)
+    wflat = win[slot].reshape(wh * ww, cc)
+    d_new = jax.lax.dot_general(
+        wflat, f0c, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ).reshape(wh, ww, t)
+    dacc[...] = jnp.where(ci == 0, d_new, dacc[...] + d_new)
 
     @pl.when(ci == nc - 1)
     def _():
@@ -564,18 +561,20 @@ def _corr_kernel(
 
         xi = jax.lax.broadcasted_iota(jnp.int32, (ww, t), 0)
         yi = jax.lax.broadcasted_iota(jnp.int32, (wh, t), 0)
+        # factored extraction, one pass over dacc: per window row y, the
+        # x-selections XS_v (p of them), scattered into the p row-offsets u
+        # that could have produced them — dacc is read once, not p times
+        mxs = [(xi == xl + (v - radius)).astype(f32) for v in range(p)]
+        mys = [(yi == yl + (u - radius)).astype(f32) for u in range(p)]
         d_all = dacc[...]  # (wh, ww, T)
+        xs = [
+            jnp.sum(d_all * mxv[None, :, :], axis=1) for mxv in mxs
+        ]  # p x (wh, T)
         rows = []
-        for v in range(p):
-            mxv = (xi == xl + (v - radius)).astype(f32)
-            xs = jnp.sum(d_all * mxv[None, :, :], axis=1)  # (wh, T)
-            for u in range(p):
-                myu = (yi == yl + (u - radius)).astype(f32)
-                rows.append(jnp.sum(xs * myu, axis=0, keepdims=True))
-        # rows were appended (v, u)-ordered; dpatch rows must be u*P+v
-        dp = jnp.concatenate(
-            [rows[v * p + u] for u in range(p) for v in range(p)], axis=0
-        )  # (PP, T), row u*P+v
+        for u in range(p):
+            for v in range(p):
+                rows.append(jnp.sum(xs[v] * mys[u], axis=0, keepdims=True))
+        dp = jnp.concatenate(rows, axis=0)  # (PP, T), row u*P+v
         out = jnp.where(ok, dp, 0.0) + fix
         o_ref[0] = out.astype(o_ref.dtype)
 
@@ -763,7 +762,7 @@ def windowed_local_corr(
 
     # bounded exact recompute of over-budget tiles
     counts = plan["counts"].reshape(bnt)
-    nt_bad = min(spec.nt_bad, bnt)
+    nt_bad = min(max(spec.nt_bad, bnt // 24), bnt)
     bad_c, bad_i = jax.lax.top_k(counts, nt_bad)
     y0_b = jnp.take(plan["y0t"].reshape(bnt, t), bad_i, axis=0)
     x0_b = jnp.take(plan["x0t"].reshape(bnt, t), bad_i, axis=0)
