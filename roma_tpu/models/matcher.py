@@ -231,7 +231,9 @@ class ConvRefiner(nn.Module):
         )((40.0 / 32.0 * scale_factor * disp).astype(self.dtype))
         parts = [x, x_hat, emb]
         if s.local_corr_radius is not None:
-            corr = local_correlation(x, y, s.local_corr_radius, flow)
+            corr = local_correlation(
+                x, y, s.local_corr_radius, flow, inference=not self.train
+            )
             parts.append(corr.astype(self.dtype))
         d = jnp.concatenate(parts, axis=-1)
         blk = dict(

@@ -23,6 +23,25 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 256
 
 
+def _softmax_padfree(logits, kpad: int, n_valid: int):
+    """Softmax over the first ``n_valid`` columns with NO masking pass.
+
+    The padded K rows are exactly zero, so every padded column's logit is
+    exactly 0 and its exp contribution is exp(-m) — subtracted analytically
+    from the denominator. m is clamped to >= 0 so the shift stays a valid
+    upper bound (padded columns contribute 0 to the max anyway). Returns
+    UNNORMALIZED probs and the corrected denominator (BQ, 1): padded V rows
+    are zero, so probs_pad @ V needs no correction either, and the divide
+    happens on the (BQ, D) output instead of the (BQ, Npad) probs.
+    """
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    if kpad != n_valid:
+        denom = denom - (kpad - n_valid) * jnp.exp(-m)
+    return e, denom
+
+
 def _attn_kernel(n_valid: int, scale: float, block_q: int, q_ref, k_ref, v_ref, o_ref):
     """One batch-head per grid step; q-blocks loop INSIDE the kernel (a
     (bh, nq) grid pays ~2.5 us/step of sequencing overhead, which dominated
@@ -37,14 +56,12 @@ def _attn_kernel(n_valid: int, scale: float, block_q: int, q_ref, k_ref, v_ref, 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, Npad)
-        if kpad != n_valid:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < n_valid, logits, -jnp.inf)
-        probs = jax.nn.softmax(logits, axis=-1)
-        o_ref[0, pl.ds(j * block_q, block_q)] = jax.lax.dot_general(
-            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        e, denom = _softmax_padfree(logits, kpad, n_valid)
+        pv = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[0, pl.ds(j * block_q, block_q)] = (pv / denom).astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, nq, body, 0)
@@ -75,10 +92,12 @@ def _attn_bwd_kernel(
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, Npad)
-        if kpad != n_valid:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < n_valid, logits, -jnp.inf)
-        p = jax.nn.softmax(logits, axis=-1)
+        # mask-free softmax (see _softmax_padfree): padded columns carry
+        # p = exp(-m)/denom != 0, but every place they reach is sliced off
+        # (dv/dk padded rows) or multiplied by zero-padded K/V rows (dq,
+        # dp row-sums), so the gradients of the valid region are exact.
+        e, denom = _softmax_padfree(logits, kpad, n_valid)
+        p = e / denom
 
         # dv += p^T @ do
         dv_ref[0] += jax.lax.dot_general(

@@ -345,3 +345,40 @@ def test_local_correlation_return_lookup_matches_grid_sample(shape):
     )
     _, none_xh = local_correlation(f0, f1, r, warp, method="corrvol", return_lookup=True)
     assert none_xh is None
+
+
+def test_pallas_attention_n_valid_masks_padded_keys():
+    """Explicit n_valid (lane-padded token stacks): output rows < n_valid
+    must match the einsum attention over the REAL tokens only — the padded
+    keys' analytic denominator correction must be exact."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from roma_tpu.ops.pallas_attention import fused_attention
+
+    b, h, n, d = 1, 2, 256, 64
+    nv = 187
+    q, k, v = _rand(b, h, n, d), _rand(b, h, n, d), _rand(b, h, n, d)
+    # zero the padding like the model does (pad -> blocks see zeros)
+    for a in (q, k, v):
+        a[:, :, nv:] = 0.0
+    ref = sdpa(
+        jnp.asarray(q[:, :, :nv]), jnp.asarray(k[:, :, :nv]), jnp.asarray(v[:, :, :nv]),
+        use_pallas=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), n_valid=nv
+        )
+    np.testing.assert_allclose(np.asarray(out[:, :, :nv]), np.asarray(ref), atol=2e-2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(
+            lambda q, k, v: (fused_attention(q, k, v, n_valid=nv)[:, :, :nv] ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    rq, rk, rv = jax.grad(
+        lambda q, k, v: (sdpa(q, k, v, use_pallas=False) ** 2).sum(), argnums=(0, 1, 2)
+    )(jnp.asarray(q[:, :, :nv]), jnp.asarray(k[:, :, :nv]), jnp.asarray(v[:, :, :nv]))
+    np.testing.assert_allclose(np.asarray(gq[:, :, :nv]), np.asarray(rq), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk[:, :, :nv]), np.asarray(rk), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gv[:, :, :nv]), np.asarray(rv), atol=1e-3)
