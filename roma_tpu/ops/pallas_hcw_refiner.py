@@ -1,0 +1,176 @@
+"""Wide-channel fused refiner block — (B, H, C, W) layout Pallas kernel.
+
+Second attack on the wide-C ConvRefiner stacks (reference
+romatch/models/matcher.py:92-122; scales 2..16, C in {144, 569, 1137,
+1377}), after the documented lane-major negative result
+(ops/pallas_refiner.py): that variant put W on sublanes / C on lanes and
+lost to XLA's scanned convs because its 25 depthwise accumulation passes
+ran over f32 strips at VMEM bandwidth.
+
+This design transposes the problem: activations live as (B, H, C, W) —
+**C on sublanes, W on lanes** — so
+
+  * the depthwise 5x5's per-channel weights become (C, 1) sublane vectors:
+    each tap is ONE broadcast-FMA over the (C, W) plane (25 taps total),
+    no per-channel scalar loop, no wide-strip passes;
+  * dx taps are static lane slices of a 2-col-haloed row, dy taps read
+    neighbor rows of a strip DMA'd with a 2-row halo (halo rows come from
+    the same HBM buffer via leading-dim slicing — no overlapping
+    BlockSpecs, no 3-view trick);
+  * the 1x1 conv is one (C, C) @ (C, W) MXU dot per output row — K = C >=
+    569 keeps the MXU fully fed;
+  * BatchNorm is folded (inference), ReLU fuses into the dw accumulate.
+
+Each block reads/writes HBM once (plus the one-time NHWC<->NHCW transposes
+around the 9-block chain); intermediate dw/ReLU activations never leave
+VMEM.
+
+Forward-only (the training path keeps flax/XLA convs + autodiff).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _block_kernel(
+    wts_ref,   # VMEM (C, 32) f32: [:, :25] dw taps (u*5+v), [:, 25] db, [:, 26] b2
+    w2_ref,    # VMEM (C, C) io-dtype, (out, in)
+    x_ref,     # ANY (B, Hp, C, Wp)  Hp = H + 4, zero rows top/bottom
+    o_ref,     # VMEM (1, S, C, Wp)
+    strip, sems,  # scratch: (2, S+4, C, Wp) io-dtype, DMA sems (2,)
+    *, s_rows: int, c: int, w: int, kk: int,
+):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    ns = pl.num_programs(1)
+    p = kk // 2
+    wp = o_ref.shape[3]
+    r_rows = s_rows + 2 * p
+    f32 = jnp.float32
+
+    step = bi * ns + si
+    slot = jax.lax.rem(step, 2)
+
+    def start(bj, sj, sl):
+        pltpu.make_async_copy(
+            x_ref.at[bj, pl.ds(sj * s_rows, r_rows)], strip.at[sl], sems.at[sl]
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start(bi, si, slot)
+
+    @pl.when(step + 1 < pl.num_programs(0) * ns)
+    def _():
+        wrap = si + 1 == ns
+        start(jnp.where(wrap, bi + 1, bi), jnp.where(wrap, 0, si + 1), 1 - slot)
+
+    pltpu.make_async_copy(
+        x_ref.at[0, pl.ds(0, r_rows)], strip.at[slot], sems.at[slot]
+    ).wait()
+
+    db = wts_ref[:, kk * kk : kk * kk + 1]   # (C, 1)
+    b2 = wts_ref[:, kk * kk + 1 : kk * kk + 2]
+
+    def row(h, _):
+        # the lane roll distributes over the dy-sum for a fixed dx:
+        #   acc = sum_v roll_x(sum_u k[:,u,v] * x[h+u], v)
+        # -> kk^2 broadcast-FMAs + kk rolls per output row. Wrap-around
+        # lands in the >=2 zero margin cols (torch zero padding).
+        rows_f = [strip[slot, h + u].astype(f32) for u in range(kk)]
+        acc = jnp.zeros((c, wp), f32)
+        for v in range(kk):
+            t = rows_f[0] * wts_ref[:, v : v + 1]
+            for u in range(1, kk):
+                t = t + rows_f[u] * wts_ref[:, u * kk + v : u * kk + v + 1]
+            acc = acc + pltpu.roll(t, (p - v) % wp, axis=1)
+        y = jnp.maximum(acc + db, 0.0).astype(w2_ref.dtype)
+        out = jax.lax.dot_general(
+            w2_ref[...], y, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + b2
+        # re-zero the x margins so the NEXT block's roll wrap stays exact
+        col = jax.lax.broadcasted_iota(jnp.int32, (c, wp), 1)
+        out = jnp.where(col < w, out, 0.0)
+        o_ref[0, h] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, s_rows, row, 0)
+
+
+def _hcw_block(x, blk, s_rows: int, interpret: bool = False):
+    """One folded block on (B, H, C, Wp) (margins already zeroed).
+
+    Returns same shape. x's W dim = wp (>= w + 2, 128-mult); ``w`` is the
+    true width; cols >= w are zero and stay zero.
+    """
+    b, h, c, wp = x.shape
+    kk = blk["dw"].shape[0]
+    p = kk // 2
+    w = blk["w"]
+    ns = -(-h // s_rows)
+    hp = ns * s_rows + 2 * p
+    xp = jnp.zeros((b, hp, c, wp), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x, (0, p, 0, 0))
+
+    wts = jnp.zeros((c, 32), jnp.float32)
+    wts = wts.at[:, : kk * kk].set(
+        blk["dw"].reshape(kk * kk, c).T.astype(jnp.float32)
+    )
+    wts = wts.at[:, kk * kk].set(blk["db"])
+    wts = wts.at[:, kk * kk + 1].set(blk["b2"])
+    w2 = blk["w2"].astype(x.dtype)  # (out, in) after transpose below
+
+    out = pl.pallas_call(
+        functools.partial(
+            _block_kernel, s_rows=s_rows, c=c, w=w, kk=kk
+        ),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s_rows, c, wp), lambda bi, si: (bi, si, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, ns * s_rows, c, wp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, s_rows + 2 * p, c, wp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wts, w2.T, xp)
+    return out[:, :h]
+
+
+def hcw_refiner_stack(x, blocks, interpret: bool = False, s_rows: int | None = None):
+    """Folded refiner chain on NHWC ``x`` via the (B, H, C, W) kernel.
+
+    x: (B, H, W, C); blocks: list of dicts from pallas_refiner.fold_block.
+    """
+    b, h, w, c = x.shape
+    wp = _round_up(w + 2 * 2, 128)
+    xt = jnp.transpose(x, (0, 1, 3, 2))  # (B, H, C, W)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    if s_rows is None:
+        # VMEM: double-buffered strip (2*(s+4) rows) + double-buffered out
+        # block (2*s rows) + w2, under ~12 MB
+        itemsize = x.dtype.itemsize
+        row_bytes = c * wp * itemsize
+        budget = 12 * 1024 * 1024 - c * c * itemsize
+        s_rows = max(4, min(32, budget // (4 * row_bytes) - 2))
+    for blk in blocks:
+        blk = dict(blk, w=w)
+        xt = _hcw_block(xt, blk, s_rows, interpret=interpret)
+    return jnp.transpose(xt[:, :, :, :w], (0, 1, 3, 2))

@@ -117,3 +117,26 @@ def test_fold_refiner_tree_matches_module_eval():
     folded = pr.fold_refiner_tree(vs["params"], vs["batch_stats"])
     got = pr.refiner_stack_reference(x, folded)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "c,h,w,nb",
+    [
+        (40, 14, 19, 2),    # pads to 128 lanes
+        (144, 11, 9, 3),    # multi-vreg sublanes
+        (16, 23, 31, 2),
+    ],
+)
+def test_hcw_refiner_stack_matches_reference(c, h, w, nb):
+    """(B, H, C, W)-layout wide-channel block kernel (pallas_hcw_refiner)
+    vs the folded XLA reference."""
+    from roma_tpu.ops.pallas_hcw_refiner import hcw_refiner_stack
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
+    blocks = _blocks(c, nb)
+    ref = pr.refiner_stack_reference(x, blocks)
+    got = hcw_refiner_stack(x, blocks, interpret=True, s_rows=5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )

@@ -1,12 +1,20 @@
-"""Full-resolution (560^2 coarse -> 864^2 upsample) numerics pin:
-torch-CPU executable spec (tests/test_roma_parity.py, f32) vs the TPU bf16
-pipeline, real two-pass wiring (roma.py _match_coarse/_match_upsample).
+"""Full-resolution (560^2 coarse -> 864^2 upsample) numerics pin.
 
-Records per-scale max|delta flow| (normalized and px) and max|delta
-certainty|; writes PARITY_FULLRES.json at the repo root.
+Two questions, answered separately (VERDICT r2 item 4):
 
-Runtime: the torch pass is ~2 TFLOP on one CPU core (tens of minutes).
-Run detached:  nohup python tools/fullres_parity.py > /tmp/fp.log 2>&1 &
+1. **Machinery parity** — do the full-res-only code paths (bicubic
+   pos-embed interpolation at 40x40 / 62x62 grids, GP Cholesky at
+   1225x1225, big grid_sample/local-corr shapes) match the torch spec?
+   Answered by torch-CPU f32 vs JAX f32: expect tiny deltas.
+2. **bf16 drift** — what does the production bf16 pipeline change?
+   Answered by JAX bf16 vs JAX f32 on the same backend. At the coarse
+   scales the 64^2 anchor classification argmax can flip under tiny logit
+   jitter (with random weights nearly every cell is a tie), so the
+   meaningful numbers are the flip rate and the delta distribution, not
+   the max.
+
+Writes PARITY_FULLRES.json. Run detached:
+  nohup python tools/fullres_parity.py > /tmp/fp.log 2>&1 &
 """
 from __future__ import annotations
 
@@ -28,6 +36,17 @@ COARSE = 560
 UP = 864
 
 
+def flow_stats(a, b, res):
+    """a, b: (B, H, W, 2) normalized flows."""
+    d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+    dpx = d * res / 2
+    return {
+        "max_px": round(float(dpx.max()), 4),
+        "p99_px": round(float(np.percentile(dpx, 99)), 4),
+        "p50_px": round(float(np.percentile(dpx, 50)), 5),
+    }
+
+
 def main():
     torch.manual_seed(0)
     spec = trp.RoMaSpec().eval()
@@ -40,9 +59,6 @@ def main():
     rng = np.random.RandomState(7)
     im_A = (rng.randn(1, COARSE, COARSE, 3) * 0.5).astype(np.float32)
     im_B = (rng.randn(1, COARSE, COARSE, 3) * 0.5).astype(np.float32)
-    # high-res pass re-reads the images at 864 in the real pipeline; for the
-    # pin we use independent random content at 864 (the net only connects
-    # the passes through flow/certainty, exactly like matcher.py:853-889)
     im_A_u = (rng.randn(1, UP, UP, 3) * 0.5).astype(np.float32)
     im_B_u = (rng.randn(1, UP, UP, 3) * 0.5).astype(np.float32)
 
@@ -70,7 +86,6 @@ def main():
         )
         print(f"torch upsample pass done in {time.time()-t1:.0f}s", flush=True)
 
-    # ---- JAX side (TPU bf16 when available) -------------------------------
     import jax
     import jax.numpy as jnp
 
@@ -78,52 +93,56 @@ def main():
     from roma_tpu.models.zoo import convert
 
     variables = convert.convert_roma(roma_sd, dinov2_sd)
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    net = RoMaNet(dtype=dtype, coarse_dtype=dtype)
+    seed_flow = jnp.asarray(tc[1]["flow"].permute(0, 2, 3, 1).numpy())
+    seed_cert = jnp.asarray(tc[1]["certainty"].permute(0, 2, 3, 1).numpy())
 
-    t2 = time.time()
-    jc = jax.jit(
-        lambda v, a, b: net.apply(v, a, b, symmetric=True, scale_factor=sf_c)
-    )(variables, jnp.asarray(im_A), jnp.asarray(im_B))
-    jc = jax.tree.map(np.asarray, jc)
-    print(f"jax coarse pass done in {time.time()-t2:.0f}s ({jax.default_backend()})", flush=True)
-    t3 = time.time()
-    ju = jax.jit(
-        lambda v, a, b, f, c: net.apply(
-            v, a, b, symmetric=True, upsample=True, flow=f, certainty=c,
-            scale_factor=sf_u,
-        )
-    )(
-        variables,
-        jnp.asarray(im_A_u),
-        jnp.asarray(im_B_u),
-        jnp.asarray(tc[1]["flow"].permute(0, 2, 3, 1).numpy()),
-        jnp.asarray(tc[1]["certainty"].permute(0, 2, 3, 1).numpy()),
-    )
-    ju = jax.tree.map(np.asarray, ju)
-    print(f"jax upsample pass done in {time.time()-t3:.0f}s", flush=True)
+    def run_jax(dtype):
+        net = RoMaNet(dtype=dtype, coarse_dtype=dtype)
+        t = time.time()
+        jc = jax.jit(
+            lambda v, a, b: net.apply(v, a, b, symmetric=True, scale_factor=sf_c)
+        )(variables, jnp.asarray(im_A), jnp.asarray(im_B))
+        jc = jax.tree.map(np.asarray, jc)
+        print(f"jax {dtype.__name__} coarse done in {time.time()-t:.0f}s", flush=True)
+        t = time.time()
+        ju = jax.jit(
+            lambda v, a, b, f, c: net.apply(
+                v, a, b, symmetric=True, upsample=True, flow=f, certainty=c,
+                scale_factor=sf_u,
+            )
+        )(variables, jnp.asarray(im_A_u), jnp.asarray(im_B_u), seed_flow, seed_cert)
+        ju = jax.tree.map(np.asarray, ju)
+        print(f"jax {dtype.__name__} upsample done in {time.time()-t:.0f}s", flush=True)
+        return jc, ju
+
+    jc32, ju32 = run_jax(jnp.float32)
+    jc16, ju16 = run_jax(jnp.bfloat16)
 
     report = {
-        "config": f"{COARSE}->{UP} symmetric b=1",
+        "config": f"{COARSE}->{UP} symmetric b=1, random converted weights",
         "jax_backend": jax.default_backend(),
-        "jax_dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
-        "scales": {},
+        "f32_vs_torch": {},
+        "bf16_vs_f32": {},
     }
-    for name, tres, jres, res in (("coarse", tc, jc, COARSE), ("up", tu, ju, UP)):
+    for name, tres, jres, res in (("coarse", tc, jc32, COARSE), ("up", tu, ju32, UP)):
         for s, d in tres.items():
             tflow = d["flow"].permute(0, 2, 3, 1).numpy()
             tcert = d["certainty"].permute(0, 2, 3, 1).numpy()
-            jflow = np.asarray(jres[s]["flow"], np.float32)
-            jcert = np.asarray(jres[s]["certainty"], np.float32)
-            dflow = float(np.abs(jflow - tflow).max())
-            p99 = float(np.percentile(np.abs(jflow - tflow), 99))
-            report["scales"][f"{name}_s{s}"] = {
-                "max_dflow_norm": round(dflow, 6),
-                "max_dflow_px": round(dflow * res / 2, 3),
-                "p99_dflow_px": round(p99 * res / 2, 4),
-                "max_dcert": round(float(np.abs(jcert - tcert).max()), 4),
-            }
+            st = flow_stats(jres[s]["flow"], tflow, res)
+            st["max_dcert"] = round(
+                float(np.abs(np.asarray(jres[s]["certainty"], np.float32) - tcert).max()), 4
+            )
+            report["f32_vs_torch"][f"{name}_s{s}"] = st
+    cell_px = COARSE / 64  # one coarse anchor cell
+    for name, j32, j16, res in (("coarse", jc32, jc16, COARSE), ("up", ju32, ju16, UP)):
+        for s in j32:
+            st = flow_stats(j16[s]["flow"], j32[s]["flow"], res)
+            d = np.abs(
+                np.asarray(j16[s]["flow"], np.float32)
+                - np.asarray(j32[s]["flow"], np.float32)
+            ) * res / 2
+            st["anchor_flip_rate"] = round(float((d.max(-1) > cell_px).mean()), 4)
+            report["bf16_vs_f32"][f"{name}_s{s}"] = st
     out = os.path.join(ROOT, "PARITY_FULLRES.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
