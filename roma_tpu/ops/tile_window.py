@@ -473,7 +473,8 @@ class CorrSpec:
     kf: int = 16        # per-tile fixup slots (exact XLA patches)
     nt_bad: int = 48    # min over-budget tiles recomputed exactly (scales
                         # with tile count at call time: max(nt_bad, bnt/24))
-    cc: int = 128       # channel chunk
+    cc: int = 128       # channel chunk floor (auto-raised to fill VMEM)
+    scale_wh: bool = True  # grow windows to 64 rows at >=200^2 maps
 
     @property
     def t(self) -> int:
@@ -489,13 +490,20 @@ def _corr_kernel(
     yl_ref, xl_ref, fpos_ref, fdp_ref, f0_ref,
     tab_ref,
     o_ref,
-    win, dacc, sems,
-    *, spec: CorrSpec, radius: int,
+    *scratch,
+    spec: CorrSpec, radius: int, cc: int,
 ):
+    # scratch = (win, sems) single-chunk / (win, dacc, sems) multi-chunk;
+    # with one chunk the tile corrvol lives only in registers — no dacc
+    # VMEM round-trips, and the MXU dot gets the full K = C depth.
+    if len(scratch) == 3:
+        win, dacc, sems = scratch
+    else:
+        (win, sems), dacc = scratch, None
     i = pl.program_id(0)
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
-    wh, xq, ns, t, kf, cc = spec.wh, spec.xq, spec.ns, spec.t, spec.kf, spec.cc
+    wh, xq, ns, t, kf = spec.wh, spec.xq, spec.ns, spec.t, spec.kf
     ww = spec.ww
     p = 2 * radius + 2
     pp = p * p
@@ -541,7 +549,8 @@ def _corr_kernel(
     d_new = jax.lax.dot_general(
         wflat, f0c, (((1,), (0,)), ((), ())), preferred_element_type=f32
     ).reshape(wh, ww, t)
-    dacc[...] = jnp.where(ci == 0, d_new, dacc[...] + d_new)
+    if dacc is not None:
+        dacc[...] = jnp.where(ci == 0, d_new, dacc[...] + d_new)
 
     @pl.when(ci == nc - 1)
     def _():
@@ -566,7 +575,7 @@ def _corr_kernel(
         # that could have produced them — dacc is read once, not p times
         mxs = [(xi == xl + (v - radius)).astype(f32) for v in range(p)]
         mys = [(yi == yl + (u - radius)).astype(f32) for u in range(p)]
-        d_all = dacc[...]  # (wh, ww, T)
+        d_all = d_new if dacc is None else dacc[...]  # (wh, ww, T)
         xs = [
             jnp.sum(d_all * mxv[None, :, :], axis=1) for mxv in mxs
         ]  # p x (wh, T)
@@ -652,13 +661,34 @@ def windowed_local_corr(
     (B, H, W, (2r+1)^2) in f0.dtype.
     """
     b, h, w, c = f0.shape
-    th, tw, wh, xq, ns, pm, kf, cc = (
-        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf, spec.cc
+    if spec.scale_wh and h >= 200 and spec.wh < 64:
+        # window spread grows with resolution (same normalized warp, more
+        # pixels): 48^2 windows overflow the budgets at >=200^2 (measured)
+        spec = CorrSpec(**{**spec.__dict__, "wh": 64, "ns": 8})
+    th, tw, wh, xq, ns, pm, kf = (
+        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf
     )
     ww, t = spec.ww, spec.t
     p_ = 2 * radius + 2
     pp = p_ * p_
     k_out = (2 * radius + 1) ** 2
+
+    # adaptive channel chunk: the largest {512,256,128} whose double-buffered
+    # window + (if multi-chunk) f32 tile corrvol fit ~12 MB VMEM. A single
+    # chunk (nc=1) keeps the corrvol in registers and K=C on the MXU.
+    # An explicitly non-default spec.cc is respected (tests pin both paths).
+    cc = spec.cc
+    if cc == CorrSpec.cc:
+        cmax = max(128, -(-c // 128) * 128)
+        for cand in (512, 256, 128):
+            if cand > cmax:
+                continue
+            win_b = 2 * wh * ww * cand * f1.dtype.itemsize
+            ncand = -(-c // cand)
+            dacc_b = 0 if ncand == 1 else wh * ww * t * 4
+            if win_b + dacc_b + wh * ww * t * 4 <= 12 * 1024 * 1024:
+                cc = cand
+                break
 
     from .local_corr import _local_corr_patch_single
 
@@ -737,14 +767,12 @@ def windowed_local_corr(
         out_specs=pl.BlockSpec(
             (1, pp, t), lambda i, ci, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, wh, ns, xq, cc), f1.dtype),
-            pltpu.VMEM((wh, ww, t), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=[pltpu.VMEM((2, wh, ns, xq, cc), f1.dtype)]
+        + ([pltpu.VMEM((wh, ww, t), jnp.float32)] if nc > 1 else [])
+        + [pltpu.SemaphoreType.DMA((2,))],
     )
     out = pl.pallas_call(
-        functools.partial(_corr_kernel, spec=spec, radius=radius),
+        functools.partial(_corr_kernel, spec=spec, radius=radius, cc=cc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bnt, pp, t), jnp.float32),
         interpret=interpret,
