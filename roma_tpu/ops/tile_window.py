@@ -661,9 +661,10 @@ def windowed_local_corr(
     (B, H, W, (2r+1)^2) in f0.dtype.
     """
     b, h, w, c = f0.shape
-    if spec.scale_wh and h >= 200 and spec.wh < 64:
+    if spec.scale_wh and h >= 120 and spec.wh < 64:
         # window spread grows with resolution (same normalized warp, more
-        # pixels): 48^2 windows overflow the budgets at >=200^2 (measured)
+        # pixels): 48^2 windows overflow the miss budgets at >=140^2 maps
+        # (measured: 140^2 wh48 trips the whole-batch fallback, wh64 never)
         spec = CorrSpec(**{**spec.__dict__, "wh": 64, "ns": 8})
     th, tw, wh, xq, ns, pm, kf = (
         spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf

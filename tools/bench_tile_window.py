@@ -65,18 +65,14 @@ def corr_bench():
             lambda a, b_, f: local_correlation(a, b_, r, f), f0, f1, flow, iters=10
         )
         print(f"== corr {h}^2 C={c} r={r}: current {t0*1e3:8.2f} ms")
-        for spec in (CorrSpec(), CorrSpec(th=16, tw=16, wh=64, ns=8)):
-            try:
-                t1 = timeit(
-                    lambda a, b_, f: windowed_local_corr(a, b_, r, f, spec=spec),
-                    f0, f1, flow, iters=10,
-                )
-                print(
-                    f"   windowed th={spec.th} wh={spec.wh} ww={spec.ww}:"
-                    f" {t1*1e3:8.2f} ms  ({t0/t1:4.2f}x)"
-                )
-            except Exception as e:
-                print(f"   windowed th={spec.th} wh={spec.wh}: FAIL {str(e)[:600]}")
+        try:
+            t1 = timeit(
+                lambda a, b_, f: windowed_local_corr(a, b_, r, f),
+                f0, f1, flow, iters=10,
+            )
+            print(f"   windowed (auto spec): {t1*1e3:8.2f} ms  ({t0/t1:4.2f}x)")
+        except Exception as e:
+            print(f"   windowed (auto spec): FAIL {str(e)[:600]}")
         got = np.asarray(
             windowed_local_corr(f0, f1, r, flow, spec=CorrSpec()), np.float32
         )
