@@ -36,9 +36,17 @@ ordered dy-major to match the reference channel order
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def _windowed_disabled() -> bool:
+    """A/B switch: ROMA_DISABLE_TILE_WINDOW=1 forces the pure-XLA gather
+    paths (used by the end-to-end validation harness and as an escape
+    hatch); read at trace time."""
+    return bool(int(os.environ.get("ROMA_DISABLE_TILE_WINDOW", "0")))
 
 
 def _combine_corners(dpatch: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
@@ -299,6 +307,7 @@ def local_correlation(
             and radius <= 4
             and n >= 4000
             and jax.default_backend() == "tpu"
+            and not _windowed_disabled()
         ):
             method = "windowed"
         else:

@@ -78,26 +78,38 @@ def _block_kernel(
         x_ref.at[0, pl.ds(0, r_rows)], strip.at[slot], sems.at[slot]
     ).wait()
 
-    db = wts_ref[:, kk * kk : kk * kk + 1]   # (C, 1)
     b2 = wts_ref[:, kk * kk + 1 : kk * kk + 2]
+    cch = 128  # channel chunk: bounds the kernel's f32 temporaries (the
+    # full-C formulation crashed the compiler at C >= 569 — measured)
 
     def row(h, _):
-        # the lane roll distributes over the dy-sum for a fixed dx:
-        #   acc = sum_v roll_x(sum_u k[:,u,v] * x[h+u], v)
-        # -> kk^2 broadcast-FMAs + kk rolls per output row. Wrap-around
-        # lands in the >=2 zero margin cols (torch zero padding).
-        rows_f = [strip[slot, h + u].astype(f32) for u in range(kk)]
-        acc = jnp.zeros((c, wp), f32)
-        for v in range(kk):
-            t = rows_f[0] * wts_ref[:, v : v + 1]
-            for u in range(1, kk):
-                t = t + rows_f[u] * wts_ref[:, u * kk + v : u * kk + v + 1]
-            acc = acc + pltpu.roll(t, (p - v) % wp, axis=1)
-        y = jnp.maximum(acc + db, 0.0).astype(w2_ref.dtype)
-        out = jax.lax.dot_general(
-            w2_ref[...], y, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ) + b2
+        # per channel chunk: dw+ReLU on (cch, Wp), then accumulate the 1x1
+        # as (C, cch) @ (cch, Wp). The lane roll distributes over the
+        # dy-sum for a fixed dx -> kk^2 broadcast-FMAs + kk rolls per
+        # chunk; wrap-around lands in the >=2 zero margin cols (torch
+        # zero padding).
+        out = jnp.zeros((c, wp), f32)
+        for c0 in range(0, c, cch):
+            cw = min(cch, c - c0)
+            csl = pl.ds(c0, cw)
+            tvs = None
+            for u in range(kk):
+                xr = strip[slot, h + u, csl].astype(f32)   # (cw, Wp)
+                taps = [
+                    xr * wts_ref[csl, u * kk + v : u * kk + v + 1]
+                    for v in range(kk)
+                ]
+                tvs = taps if tvs is None else [a + b for a, b in zip(tvs, taps)]
+            acc = jnp.zeros((cw, wp), f32)
+            for v in range(kk):
+                acc = acc + pltpu.roll(tvs[v], (p - v) % wp, axis=1)
+            db_c = wts_ref[csl, kk * kk : kk * kk + 1]
+            y = jnp.maximum(acc + db_c, 0.0).astype(w2_ref.dtype)
+            out = out + jax.lax.dot_general(
+                w2_ref[:, csl], y, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        out = out + b2
         # re-zero the x margins so the NEXT block's roll wrap stays exact
         col = jax.lax.broadcasted_iota(jnp.int32, (c, wp), 1)
         out = jnp.where(col < w, out, 0.0)
