@@ -314,10 +314,20 @@ def windowed_warp(
 
     # segment table (NJ, B, Hp, m, chunkw): sliced dims (segment, image,
     # window rows) all leading; the trailing-two tiled dims copied whole.
-    xqc = xq * c
+    # Mosaic DMA requires the trailing two dims to be WHOLE hardware tiles
+    # — (m, chunkw) must be multiples of (8, 128) (a partial tile like
+    # (9, 128) crashes the compiler; measured) — so channels pad up to
+    # make xq*cp a multiple of 8*128. Padded channels are zero and are
+    # sliced off after the untile.
+    import math as _math
+
+    cp_unit = (8 * 128) // _math.gcd(xq, 8 * 128)
+    cp = -(-c // cp_unit) * cp_unit
+    xqc = xq * cp
     chunkw = 128 if xqc % 128 == 0 else xqc
     m = xqc // chunkw
-    xp = jnp.pad(x, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))) if cp != c else x
+    xp = jnp.pad(xpad, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
     table = xp.reshape(b, hp, njq, m, chunkw).transpose(2, 0, 1, 3, 4)
 
     # fixup slots: compact the needs-fix queries, gather their exact taps
@@ -336,6 +346,8 @@ def windowed_warp(
     y0_k = tap_at(sel, p["y0t"])
     x0_k = tap_at(sel, p["x0t"])
     fval = _exact_taps(x_flat, img_rows_f, y0_k, x0_k, fy_k, fx_k, h, w, c)
+    if cp != c:
+        fval = jnp.pad(fval, ((0, 0), (0, 0), (0, cp - c)))
 
     qs = t if t <= 1024 else 1024
     while t % qs:
@@ -350,11 +362,11 @@ def windowed_warp(
             pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kf, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf, c), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kf, cp), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, c, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, cp, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ns, wh, m, chunkw), x.dtype),
@@ -362,9 +374,9 @@ def windowed_warp(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, spec=spec, c=c, qs=qs, m=m),
+        functools.partial(_warp_kernel, spec=spec, c=cp, qs=qs, m=m),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bnt, c, t), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bnt, cp, t), x.dtype),
         interpret=interpret,
     )(
         p["oy"].reshape(bnt).astype(jnp.int32),
@@ -389,13 +401,15 @@ def windowed_warp(
     fy_b = jnp.take(p["fyt"].reshape(bnt, t), bad_i, axis=0)
     fx_b = jnp.take(p["fxt"].reshape(bnt, t), bad_i, axis=0)
     vals_b = _exact_taps(x_flat, img_rows_b, y0_b, x0_b, fy_b, fx_b, h, w, c)
-    vals_b = jnp.swapaxes(vals_b, 1, 2).astype(x.dtype)  # (nt_bad, C, T)
+    if cp != c:
+        vals_b = jnp.pad(vals_b, ((0, 0), (0, 0), (0, cp - c)))
+    vals_b = jnp.swapaxes(vals_b, 1, 2).astype(x.dtype)  # (nt_bad, Cp, T)
     keep = (bad_c > kf)[:, None, None]
     merged = jnp.where(keep, vals_b, jnp.take(out, bad_i, axis=0))
     out = out.at[bad_i].set(merged)
 
-    out = out.reshape(b, nh, nw, c, th, tw).transpose(0, 1, 4, 2, 5, 3)
-    windowed = out.reshape(b, nh * th, nw * tw, c)[:, :hq, :wq]
+    out = out.reshape(b, nh, nw, cp, th, tw).transpose(0, 1, 4, 2, 5, 3)
+    windowed = out.reshape(b, nh * th, nw * tw, cp)[:, :hq, :wq, :c]
 
     n_over = jnp.sum(counts > kf)
 
