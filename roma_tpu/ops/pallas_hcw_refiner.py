@@ -26,6 +26,27 @@ around the 9-block chain); intermediate dw/ReLU activations never leave
 VMEM.
 
 Forward-only (the training path keeps flax/XLA convs + autodiff).
+
+MEASURED (v5e, bs16, 9 blocks, bf16) — second NEGATIVE result for the
+wide-C bucket, after the lane-major one (ops/pallas_refiner.py):
+
+  * s2-up 432^2 C=144: XLA scanned 112.4 ms, this kernel 198.1 ms (0.57x)
+  * s2-c  280^2 C=144: XLA scanned  46.2 ms, this kernel 109.1 ms (0.42x)
+  * C >= 569 initially crashed the TPU compiler (full-C f32 row
+    temporaries); fixed by the 128-channel-chunked row body below.
+
+Roofline context, which is the real finding: the stacks' cost is the 1x1
+convs — C^2 MACs/pixel x 9 blocks ~= 14.7 TFLOP bf16 per two-pass batch
+across scales 2..16 — and XLA's scanned path already runs s8-up
+(4.3 TFLOP) in 43.9 ms ~= 98 TFLOP/s ~= 50% of v5e bf16 peak, i.e. within
+~1.3x of what a hand kernel could realistically sustain with DMA + dw
+overlap. At C=144 the stacks are HBM-pass-bound instead, and this
+per-block design pays the same 9 x read+write traffic as XLA while adding
+VPU broadcast-FMA cost — chaining >=3 blocks VMEM-resident (halo growth
+2 rows/side/block) is the only remaining lever there, worth ~2x of the
+~160 ms s2 bucket at best. Kept as a parity-tested experiment; NOT routed
+by matcher.ConvRefiner (the C<=32 channel-major kernel in pallas_refiner
+remains the only routed refiner kernel).
 """
 from __future__ import annotations
 

@@ -1,0 +1,63 @@
+"""Golden-eval-config throughput: 672 coarse -> 1344 upsample (the
+Mega-1500 AUC config, reference tests/test_mega1500.py env note /
+experiments/eval_roma_outdoor.py) on one TPU chip.
+
+bench.py's headline metric stays 560->864 (the reference timing-harness
+config); this records the golden config + sanity-checks that the windowed
+kernels' thresholds hold in that regime (VERDICT r2 item 7).
+
+nohup python tools/bench_1344.py > /tmp/b1344.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 4
+COARSE, UP = 672, 1344
+
+
+def main():
+    from roma_tpu.models.zoo import roma_outdoor
+
+    print(f"backend={jax.default_backend()}")
+    model = roma_outdoor(coarse_res=COARSE, upsample_res=UP, amp=True)
+    rs = np.random.RandomState(0)
+    im_A = jnp.asarray(rs.randn(BATCH, COARSE, COARSE, 3), model.dtype)
+    im_B = jnp.asarray(rs.randn(BATCH, COARSE, COARSE, 3), model.dtype)
+    im_A_u = jnp.asarray(rs.randn(BATCH, UP, UP, 3), model.dtype)
+    im_B_u = jnp.asarray(rs.randn(BATCH, UP, UP, 3), model.dtype)
+
+    def run():
+        warp, cert = model.match(
+            im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u
+        )
+        return float(jnp.sum(cert))
+
+    run()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": f"roma_outdoor_{COARSE}to{UP}_bs{BATCH}_pairs_per_sec_per_chip",
+                "value": round(BATCH / dt, 4),
+                "unit": "pairs/sec",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
