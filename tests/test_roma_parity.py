@@ -465,3 +465,68 @@ def test_roma_upsample_parity(spec_and_vars):
             atol=2e-3,
             err_msg=f"flow scale {s}",
         )
+
+
+# --------------------------------------------------------------------------
+# full-resolution-only code paths, pinned at their REAL sizes in isolation
+# (cheap without the surrounding ViT/decoder; complements the reduced-res
+# end-to-end tests above and tools/fullres_parity.py)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("res", [(560, 560), (864, 864), (560, 784)])
+def test_pos_embed_interpolation_full_grids(res):
+    """Bicubic pos-embed interpolation at the real eval grids (40x40 for
+    560, ~62x62 for 864; reference dinov2.py:166-190 scale_factor + 0.1
+    trick) vs the torch spec."""
+    from roma_tpu.models.vit import DinoV2
+
+    h, w = res
+    spec = DinoSpec(depth=0)
+    pos = spec.interpolate_pos_encoding((h // 14) * (w // 14), h, w)
+
+    model = DinoV2(depth=0)
+    jpos = model._interpolate_pos_encoding(
+        jnp.asarray(spec.pos_embed.detach().numpy()), h // 14, w // 14
+    )
+    np.testing.assert_allclose(
+        np.asarray(jpos), pos.detach().numpy(), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_gp_full_token_count():
+    """GP Cholesky solve at the real 560-coarse token count (35^2 = 1225
+    Gram matrix; reference matcher.py:301-309 eval path) vs the torch
+    spec, f32."""
+    from roma_tpu.models.matcher import GP
+
+    torch.manual_seed(3)
+    spec = GPSpec()
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 512, 35, 35).astype(np.float32)
+    y = rng.randn(1, 512, 35, 35).astype(np.float32)
+    with torch.no_grad():
+        ref = spec(torch.tensor(x), torch.tensor(y))
+
+    gp = GP()
+    variables = {
+        "params": {
+            "pos_conv": {
+                "kernel": jnp.asarray(
+                    spec.pos_conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(spec.pos_conv.bias.detach().numpy()),
+            }
+        }
+    }
+    got = gp.apply(
+        variables,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got),
+        ref.permute(0, 2, 3, 1).numpy(),
+        atol=5e-3,
+        rtol=1e-3,
+    )
