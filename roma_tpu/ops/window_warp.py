@@ -403,17 +403,28 @@ def windowed_grid_sample(
 def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
     """Dispatcher for the matcher's x_hat lookup (matcher.py:213).
 
-    STATUS (v5e, measured on the two-pass shapes): the windowed kernel's
-    window stage is sound (window gather 39 ms + kernel 45 ms at 864^2 C=9
-    vs 349 ms for the plain gather), but the exactness plumbing — per-tile
-    miss compaction, fixup-value gathers, index tiling, untile — currently
-    adds ~100+ ms and real warps overflow the per-tile fixup budget in ~4%
-    of tiles (window stats measured on the actual matcher flow), which
-    trips the whole-batch fallback. Until the fixup path is restructured
-    (2-window tiles + per-tile fallback budgets), the plain gather is the
-    better end-to-end choice, so this dispatcher does NOT yet route to the
-    windowed kernel. ``windowed_grid_sample`` remains a fully exact,
-    parity-tested drop-in for callers whose warps are known-smooth.
+    Routes the narrow-channel, large-map lookups (scale 1: C=9 at 560^2 /
+    864^2, where the plain gather hits the measured XLA:TPU gather wall)
+    to the v2 windowed tile sampler (ops/tile_window.windowed_warp —
+    exact, per-tile fixup budgets + bounded bad-tile recompute).
+    Everything else — wide channels (one-hot MXU contraction doesn't pay
+    past C~16), small maps, training (needs gradients), non-TPU backends —
+    keeps the plain gather. ROMA_DISABLE_TILE_WINDOW=1 reverts.
+
+    This module's ``windowed_grid_sample`` (v1) remains the documented
+    staging experiment; the production path is tile_window.
     """
-    del inference
+    b, h, w, c = y.shape
+    n = flow.shape[1] * flow.shape[2]
+    if (
+        inference
+        and c <= 16
+        and n >= 200_000
+        and jax.default_backend() == "tpu"
+    ):
+        from .local_corr import _windowed_disabled
+        from .tile_window import windowed_warp
+
+        if not _windowed_disabled():
+            return windowed_warp(y, flow)
     return grid_sample(y, flow)
