@@ -182,45 +182,53 @@ def _warp_kernel(
         if spec.dots == "bf16x2":
             my0 = (ri == yl).astype(jnp.bfloat16)
             my1 = (ri == yl + 1).astype(jnp.bfloat16)
+            my = None
         else:
             my = jnp.where(ri == yl, 1.0 - fy, 0.0) + jnp.where(
                 ri == yl + 1, fy, 0.0
             )
-        acc = jnp.zeros((c, qs), f32)
-        for s in range(ns):
-            parts = []
-            for j in range(m):
-                w_j = win[buf, s, :, j]     # (wh, chunkw)
-                if spec.dots == "bf16x2":
-                    t0 = jax.lax.dot_general(
-                        w_j, my0, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    t1 = jax.lax.dot_general(
-                        w_j, my1, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    parts.append(t0 * (1.0 - fy) + t1 * fy)
-                else:
-                    parts.append(
-                        jax.lax.dot_general(
-                            w_j.astype(f32), my, (((0,), (0,)), ((), ())),
-                            preferred_element_type=f32,
-                        )
-                    )
-            tm = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
-            tm3 = tm.reshape(xq, c, qs)             # leading split only
-            ci = jax.lax.broadcasted_iota(jnp.int32, (xq, qs), 0) + s * xq
+
+        # fori over the ns*m lane chunks (NOT a python unroll: Mosaic's
+        # scoped-VMEM stack does not reuse buffers across unrolled
+        # iterations — the unrolled form OOM'd at the real shapes). A
+        # chunk holds chunkw//c consecutive x-positions (chunkw % c == 0
+        # is checked by the wrapper), so its x-selection is local.
+        xpc = win.shape[4] // c  # x positions per chunk
+        nk = ns * m
+
+        def chunk(k, acc):
+            s = k // m
+            j = k - s * m
+            w_j = win[buf, s, :, j]     # (wh, chunkw)
+            if spec.dots == "bf16x2":
+                t0 = jax.lax.dot_general(
+                    w_j, my0, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                t1 = jax.lax.dot_general(
+                    w_j, my1, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                tm = t0 * (1.0 - fy) + t1 * fy      # (chunkw, qs)
+            else:
+                tm = jax.lax.dot_general(
+                    w_j.astype(f32), my, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            tm3 = tm.reshape(xpc, c, qs)            # leading split only
+            ci = jax.lax.broadcasted_iota(jnp.int32, (xpc, qs), 0) + k * xpc
             sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
                 ci == xl + 1, fx, 0.0
             )
-            acc = acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
+            return acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
+
+        acc = jax.lax.fori_loop(0, nk, chunk, jnp.zeros((c, qs), f32))
 
         out = jnp.where(ok, acc, 0.0) + fix
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, nq, body, 0, unroll=True)
+    jax.lax.fori_loop(0, nq, body, 0)
 
 
 def _plan(flow, h, w, spec, radius: int = 0):
@@ -326,6 +334,10 @@ def windowed_warp(
     xqc = xq * cp
     chunkw = 128 if xqc % 128 == 0 else xqc
     m = xqc // chunkw
+    if chunkw % cp:
+        # chunk boundaries must align with x-positions (chunkw//cp whole
+        # positions per chunk) for the per-chunk x-selection
+        return grid_sample(x, flow)
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))) if cp != c else x
     xp = jnp.pad(xpad, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
     table = xp.reshape(b, hp, njq, m, chunkw).transpose(2, 0, 1, 3, 4)
