@@ -188,41 +188,43 @@ def _warp_kernel(
                 ri == yl + 1, fy, 0.0
             )
 
-        # fori over the ns*m lane chunks (NOT a python unroll: Mosaic's
-        # scoped-VMEM stack does not reuse buffers across unrolled
-        # iterations — the unrolled form OOM'd at the real shapes). A
-        # chunk holds chunkw//c consecutive x-positions (chunkw % c == 0
-        # is checked by the wrapper), so its x-selection is local.
+        # fori over segments (s is a LEADING scratch dim — dynamic index
+        # fine); the m lane chunks within a segment are a STATIC unroll
+        # because the m dim is sublane-tiled and Mosaic requires provably
+        # aligned indices there. A chunk holds chunkw//c consecutive
+        # x-positions (chunkw % c == 0 checked by the wrapper), so its
+        # x-selection is local.
         xpc = win.shape[4] // c  # x positions per chunk
-        nk = ns * m
 
-        def chunk(k, acc):
-            s = k // m
-            j = k - s * m
-            w_j = win[buf, s, :, j]     # (wh, chunkw)
-            if spec.dots == "bf16x2":
-                t0 = jax.lax.dot_general(
-                    w_j, my0, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
+        def seg(s, acc):
+            for j in range(m):
+                w_j = win[buf, s, :, j]     # (wh, chunkw); j static
+                if spec.dots == "bf16x2":
+                    t0 = jax.lax.dot_general(
+                        w_j, my0, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    t1 = jax.lax.dot_general(
+                        w_j, my1, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    tm = t0 * (1.0 - fy) + t1 * fy      # (chunkw, qs)
+                else:
+                    tm = jax.lax.dot_general(
+                        w_j.astype(f32), my, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                tm3 = tm.reshape(xpc, c, qs)            # leading split only
+                ci = jax.lax.broadcasted_iota(jnp.int32, (xpc, qs), 0) + (
+                    s * m + j
+                ) * xpc
+                sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
+                    ci == xl + 1, fx, 0.0
                 )
-                t1 = jax.lax.dot_general(
-                    w_j, my1, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                tm = t0 * (1.0 - fy) + t1 * fy      # (chunkw, qs)
-            else:
-                tm = jax.lax.dot_general(
-                    w_j.astype(f32), my, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-            tm3 = tm.reshape(xpc, c, qs)            # leading split only
-            ci = jax.lax.broadcasted_iota(jnp.int32, (xpc, qs), 0) + k * xpc
-            sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
-                ci == xl + 1, fx, 0.0
-            )
-            return acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
+                acc = acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
+            return acc
 
-        acc = jax.lax.fori_loop(0, nk, chunk, jnp.zeros((c, qs), f32))
+        acc = jax.lax.fori_loop(0, ns, seg, jnp.zeros((c, qs), f32))
 
         out = jnp.where(ok, acc, 0.0) + fix
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
@@ -361,7 +363,7 @@ def windowed_warp(
     if cp != c:
         fval = jnp.pad(fval, ((0, 0), (0, 0), (0, cp - c)))
 
-    qs = t if t <= 1024 else 1024
+    qs = t if t <= 512 else 512
     while t % qs:
         qs -= 1
 
