@@ -1,0 +1,181 @@
+"""One serialized TPU session running every pending measurement — the
+tunnel wedges when clients are killed or run concurrently, so everything
+goes through a single long-lived process, in priority order, with
+per-step logs. Safe to re-run; each step is independent.
+
+nohup python tools/tpu_session.py > /tmp/ts.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def step(name):
+    def deco(fn):
+        STEPS.append((name, fn))
+        return fn
+
+    return deco
+
+
+STEPS = []
+
+
+# ------------------------------------------------------------------ 1
+@step("warp-bench")
+def warp_bench():
+    from profile_window import realistic_flow, timeit
+
+    from roma_tpu.ops.grid_sample import grid_sample
+    from roma_tpu.ops.tile_window import WarpSpec, windowed_warp
+
+    B = 16
+    for h in (864, 560):
+        flow = realistic_flow(h, h)
+        x = jnp.asarray(np.random.RandomState(1).randn(B, h, h, 9), jnp.bfloat16)
+        for dots, ns, xq in (("bf16x2", 3, 64), ("bf16x2", 2, 128)):
+            spec = WarpSpec(dots=dots, ns=ns, xq=xq)
+            t1 = timeit(lambda x, f: windowed_warp(x, f, spec=spec), x, flow, iters=20)
+            print(f"  {h}^2 C=9 windowed dots={dots} ns={ns} xq={xq}: {t1*1e3:8.2f} ms", flush=True)
+        got = np.asarray(windowed_warp(x, flow, spec=WarpSpec()), np.float32)
+        ref = np.asarray(grid_sample(x, flow), np.float32)
+        print(f"  {h}^2 max|delta| vs plain: {np.abs(got-ref).max():.5f}", flush=True)
+
+
+# ------------------------------------------------------------------ 2
+@step("e2e-bench-560-864")
+def e2e_bench():
+    from roma_tpu.models.zoo import roma_outdoor
+
+    model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
+    rs = np.random.RandomState(0)
+    B = 8
+    im_A = jnp.asarray(rs.randn(B, 560, 560, 3), model.dtype)
+    im_B = jnp.asarray(rs.randn(B, 560, 560, 3), model.dtype)
+    im_A_u = jnp.asarray(rs.randn(B, 864, 864, 3), model.dtype)
+    im_B_u = jnp.asarray(rs.randn(B, 864, 864, 3), model.dtype)
+
+    def run():
+        warp, cert = model.match(im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u)
+        return float(jnp.sum(cert))
+
+    run()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"  560->864 bs8: {dt*1e3:.1f} ms/batch = {B/dt:.3f} pairs/s/chip", flush=True)
+
+    os.environ["ROMA_DISABLE_TILE_WINDOW"] = "1"
+    model2 = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
+    w2, c2 = model2.match(im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u)
+    float(jnp.sum(c2))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        w2, c2 = model2.match(im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u)
+        float(jnp.sum(c2))
+    dt2 = (time.perf_counter() - t0) / 3
+    print(f"  560->864 bs8 (windowed OFF): {dt2*1e3:.1f} ms/batch", flush=True)
+    w1, c1 = model.match(im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u)
+    dw = np.abs(np.asarray(w1, np.float32) - np.asarray(w2, np.float32))
+    dc = np.abs(np.asarray(c1, np.float32) - np.asarray(c2, np.float32))
+    print(f"  A/B max|dwarp|={dw.max():.5f} p99={np.percentile(dw,99):.6f} max|dcert|={dc.max():.5f}", flush=True)
+    del os.environ["ROMA_DISABLE_TILE_WINDOW"]
+
+
+# ------------------------------------------------------------------ 3
+@step("bench-672-1344")
+def bench_1344():
+    from roma_tpu.models.zoo import roma_outdoor
+
+    model = roma_outdoor(coarse_res=672, upsample_res=1344, amp=True)
+    rs = np.random.RandomState(0)
+    B = 4
+    im_A = jnp.asarray(rs.randn(B, 672, 672, 3), model.dtype)
+    im_B = jnp.asarray(rs.randn(B, 672, 672, 3), model.dtype)
+    im_A_u = jnp.asarray(rs.randn(B, 1344, 1344, 3), model.dtype)
+    im_B_u = jnp.asarray(rs.randn(B, 1344, 1344, 3), model.dtype)
+
+    def run():
+        warp, cert = model.match(im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u)
+        return float(jnp.sum(cert))
+
+    run()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"  672->1344 bs4: {dt*1e3:.1f} ms/batch = {B/dt:.3f} pairs/s/chip", flush=True)
+
+
+# ------------------------------------------------------------------ 4
+@step("hcw-bigC-record")
+def hcw_bigc():
+    from profile_window import timeit
+
+    from roma_tpu.ops import pallas_refiner as pr
+    from roma_tpu.ops.pallas_hcw_refiner import hcw_refiner_stack
+
+    rs = np.random.RandomState(0)
+    for h, c in ((108, 1137), (216, 569)):
+        x = jnp.asarray(rs.randn(16, h, h, c), jnp.bfloat16)
+        blocks = [pr.fold_block(
+            np.asarray(rs.randn(5, 5, 1, c) * 0.2, np.float32),
+            np.asarray(rs.randn(c) * 0.1, np.float32),
+            np.asarray(1 + 0.1 * rs.randn(c), np.float32),
+            np.asarray(0.1 * rs.randn(c), np.float32),
+            np.asarray(0.05 * rs.randn(c), np.float32),
+            np.asarray(np.abs(1 + 0.2 * rs.randn(c)), np.float32),
+            np.asarray(rs.randn(1, 1, c, c) * (1.5 / np.sqrt(c)), np.float32),
+            np.asarray(rs.randn(c) * 0.1, np.float32),
+        ) for _ in range(9)]
+        t1 = timeit(lambda d: hcw_refiner_stack(d, blocks), x, iters=5)
+        print(f"  hcw {h}^2 C={c}: {t1*1e3:8.2f} ms (XLA scanned: s8-up 43.9 / s4-up ~?)", flush=True)
+
+
+# ------------------------------------------------------------------ 5
+@step("attention-ms")
+def attention_ms():
+    from profile_window import timeit
+
+    from roma_tpu.ops.pallas_attention import fused_attention
+
+    rs = np.random.RandomState(0)
+    b, hh, n, d = 32, 16, 1601, 64
+    npad = -(-n // 128) * 128
+    q = jnp.asarray(rs.randn(b, hh, npad, d), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(b, hh, npad, d), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(b, hh, npad, d), jnp.bfloat16)
+    t1 = timeit(lambda q, k, v: fused_attention(q, k, v, n_valid=n), q, k, v, iters=20)
+    print(f"  DINOv2-shape attention (b*h={b*hh}, n={n}): {t1*1e3:8.2f} ms", flush=True)
+
+
+def main():
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
+    for name, fn in STEPS:
+        print(f"== {name} ==", flush=True)
+        t0 = time.time()
+        try:
+            fn()
+            print(f"== {name} done in {time.time()-t0:.0f}s ==", flush=True)
+        except Exception:
+            traceback.print_exc()
+            print(f"== {name} FAILED after {time.time()-t0:.0f}s ==", flush=True)
+
+
+if __name__ == "__main__":
+    main()
