@@ -111,31 +111,34 @@ def _exact_taps(x_flat, img_rows, y0, x0, fy, fx, h, w, c):
 
 
 def _warp_kernel(
-    oy_s, jx_s, img_s,          # scalar-prefetch (bnt,) int32
+    oy_s, jx_s, img_s,          # scalar-prefetch (bnt,) int32; oy_s in 8-row units
     yl_ref, fy_ref, xl_ref, fx_ref, fpos_ref, fval_ref,  # VMEM per-tile
-    tab_ref,                     # ANY (NJ, B, Hp, m, chunkw)
+    tab_ref,                     # ANY (NJ, B, Hp/8, 8, XQC)
     o_ref,                       # VMEM (1, C, T)
-    win, sems,                   # scratch: (2, ns, wh, m, chunkw), sems (2, ns)
-    *, spec: WarpSpec, c: int, qs: int, m: int,
+    win, sems,                   # scratch: (2, ns, wh/8, 8, xqc), sems (2, ns)
+    *, spec: WarpSpec, c: int, qs: int,
 ):
     """Per-tile windowed bilinear sampling.
 
-    The table's sliced dims (segment jx+s, image, window rows oy) are all
-    LEADING — Mosaic tiles HBM memrefs on the trailing two dims (m, chunkw)
-    which are always copied whole. The [x][c]-major window row is split
-    into ``m`` lane-aligned chunks; each chunk is one (wh, chunkw) MXU
-    dot against the y one-hots, and the chunk results concatenate back to
-    the flat (xq*c, qs) row order before the leading-dim split to
-    (xq, c, qs) for the x-selection.
+    Layout rules this kernel is built around (measured the hard way):
+    Mosaic tiles HBM memrefs on their trailing two dims and DMA slices /
+    dynamic indices there are illegal, so the table's window rows are
+    pre-split (Hp/8, 8) — the window origin is quantized to 8 rows and the
+    DMA slices only LEADING dims, copying whole (8, XQC) tiles. In-kernel,
+    the (wh/8, 8, xqc) window merges its LEADING dims to (wh, xqc) (minor
+    dim untouched — a legal reshape) so the y one-hot contraction is ONE
+    big MXU dot per segment, not a fragmented per-lane-chunk loop (48
+    small dots per query block ran 4x slower than the plain gather).
     """
     i = pl.program_id(0)
     wh, xq, ns, t, kf = spec.wh, spec.xq, spec.ns, spec.t, spec.kf
     nq = t // qs
+    wh8 = wh // 8
 
     def start_tile(ti, buf):
         for s in range(ns):
             pltpu.make_async_copy(
-                tab_ref.at[jx_s[ti] + s, img_s[ti], pl.ds(oy_s[ti], wh)],
+                tab_ref.at[jx_s[ti] + s, img_s[ti], pl.ds(oy_s[ti], wh8)],
                 win.at[buf, s],
                 sems.at[buf, s],
             ).start()
@@ -143,7 +146,7 @@ def _warp_kernel(
     def wait_tile(buf):
         for s in range(ns):
             pltpu.make_async_copy(
-                tab_ref.at[0, 0, pl.ds(0, wh)], win.at[buf, s], sems.at[buf, s]
+                tab_ref.at[0, 0, pl.ds(0, wh8)], win.at[buf, s], sems.at[buf, s]
             ).wait()
 
     buf = jax.lax.rem(i, 2)
@@ -188,41 +191,30 @@ def _warp_kernel(
                 ri == yl + 1, fy, 0.0
             )
 
-        # fori over segments (s is a LEADING scratch dim — dynamic index
-        # fine); the m lane chunks within a segment are a STATIC unroll
-        # because the m dim is sublane-tiled and Mosaic requires provably
-        # aligned indices there. A chunk holds chunkw//c consecutive
-        # x-positions (chunkw % c == 0 checked by the wrapper), so its
-        # x-selection is local.
-        xpc = win.shape[4] // c  # x positions per chunk
-
+        # fori over segments; s only ever indexes LEADING dims
         def seg(s, acc):
-            for j in range(m):
-                w_j = win[buf, s, :, j]     # (wh, chunkw); j static
-                if spec.dots == "bf16x2":
-                    t0 = jax.lax.dot_general(
-                        w_j, my0, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    t1 = jax.lax.dot_general(
-                        w_j, my1, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    tm = t0 * (1.0 - fy) + t1 * fy      # (chunkw, qs)
-                else:
-                    tm = jax.lax.dot_general(
-                        w_j.astype(f32), my, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                tm3 = tm.reshape(xpc, c, qs)            # leading split only
-                ci = jax.lax.broadcasted_iota(jnp.int32, (xpc, qs), 0) + (
-                    s * m + j
-                ) * xpc
-                sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
-                    ci == xl + 1, fx, 0.0
+            w_s = win[buf, s].reshape(wh, xq * c)   # leading-dims merge
+            if spec.dots == "bf16x2":
+                t0 = jax.lax.dot_general(
+                    w_s, my0, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
                 )
-                acc = acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
-            return acc
+                t1 = jax.lax.dot_general(
+                    w_s, my1, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                tm = t0 * (1.0 - fy) + t1 * fy      # (xqc, qs)
+            else:
+                tm = jax.lax.dot_general(
+                    w_s.astype(f32), my, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            tm3 = tm.reshape(xq, c, qs)             # leading split only
+            ci = jax.lax.broadcasted_iota(jnp.int32, (xq, qs), 0) + s * xq
+            sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
+                ci == xl + 1, fx, 0.0
+            )
+            return acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
 
         acc = jax.lax.fori_loop(0, ns, seg, jnp.zeros((c, qs), f32))
 
@@ -233,13 +225,15 @@ def _warp_kernel(
     jax.lax.fori_loop(0, nq, body, 0)
 
 
-def _plan(flow, h, w, spec, radius: int = 0):
+def _plan(flow, h, w, spec, radius: int = 0, oy_quant: int = 1):
     """Shared windowing plan: tile-major index fields, window origins,
     in-window tests and the needs-fix mask (miss AND touches image).
 
     ``radius``: extra in-window margin for kernels that read an integer
     (2r+2)^2 tap patch around each base (windowed local correlation);
-    0 for the plain bilinear warp lookup.
+    0 for the plain bilinear warp lookup. ``oy_quant``: window y-origin
+    granularity (8 for kernels whose tables pre-split rows into 8-row
+    tiles).
     """
     b = flow.shape[0]
     hq, wq = flow.shape[1], flow.shape[2]
@@ -268,9 +262,10 @@ def _plan(flow, h, w, spec, radius: int = 0):
     # bounded-influence origins: clip into the padded range BEFORE the mean
     ypc = jnp.clip(y0t + pm, 0, hp - 1).astype(jnp.float32)
     xpc = jnp.clip(x0t + pm, 0, wpx - 1).astype(jnp.float32)
-    oy = jnp.clip(
-        jnp.round(jnp.mean(ypc, axis=-1) - wh / 2).astype(jnp.int32), 0, hp - wh
-    )
+    oy = jnp.round(jnp.mean(ypc, axis=-1) - wh / 2).astype(jnp.int32)
+    if oy_quant > 1:
+        oy = (oy // oy_quant) * oy_quant
+    oy = jnp.clip(oy, 0, ((hp - wh) // oy_quant) * oy_quant)
     jx = jnp.clip(
         jnp.round((jnp.mean(xpc, axis=-1) - ww / 2) / xq).astype(jnp.int32),
         0,
@@ -318,31 +313,28 @@ def windowed_warp(
     if h + 2 * pm < wh or -(-(w + 2 * pm) // xq) * xq < ww + xq:
         return grid_sample(x, flow)  # image smaller than a window
 
-    p = _plan(flow, h, w, spec)
+    p = _plan(flow, h, w, spec, oy_quant=8)
     nt, nh, nw, hp, wpx, njq = p["nt"], p["nh"], p["nw"], p["hp"], p["wpx"], p["njq"]
     bnt = b * nt
 
-    # segment table (NJ, B, Hp, m, chunkw): sliced dims (segment, image,
-    # window rows) all leading; the trailing-two tiled dims copied whole.
-    # Mosaic DMA requires the trailing two dims to be WHOLE hardware tiles
-    # — (m, chunkw) must be multiples of (8, 128) (a partial tile like
-    # (9, 128) crashes the compiler; measured) — so channels pad up to
-    # make xq*cp a multiple of 8*128. Padded channels are zero and are
-    # sliced off after the untile.
+    # segment table (NJ, B, Hp/8, 8, XQC): sliced dims (segment, image,
+    # 8-row window blocks) all leading; the trailing-two tiled dims are
+    # whole hardware tiles ((8, xqc) with xqc a 128 multiple) and are
+    # always copied whole — Mosaic rejects DMA slices / dynamic indices on
+    # the tiled trailing dims (measured: partial tiles crash the compiler,
+    # dynamic 2nd-minor indices fail alignment proofs). Channels pad so
+    # xq*cp is a 128 multiple; the window y-origin is quantized to 8 rows.
     import math as _math
 
-    cp_unit = (8 * 128) // _math.gcd(xq, 8 * 128)
+    cp_unit = 128 // _math.gcd(xq, 128)
     cp = -(-c // cp_unit) * cp_unit
     xqc = xq * cp
-    chunkw = 128 if xqc % 128 == 0 else xqc
-    m = xqc // chunkw
-    if chunkw % cp:
-        # chunk boundaries must align with x-positions (chunkw//cp whole
-        # positions per chunk) for the per-chunk x-selection
-        return grid_sample(x, flow)
+    hp8 = -(-hp // 8)
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))) if cp != c else x
-    xp = jnp.pad(xpad, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
-    table = xp.reshape(b, hp, njq, m, chunkw).transpose(2, 0, 1, 3, 4)
+    xp = jnp.pad(
+        xpad, ((0, 0), (pm, pm + hp8 * 8 - hp), (pm, wpx - w - pm), (0, 0))
+    )
+    table = xp.reshape(b, hp8, 8, njq, xqc).transpose(3, 0, 1, 2, 4)
 
     # fixup slots: compact the needs-fix queries, gather their exact taps
     fpos = _compact_miss(
@@ -383,17 +375,17 @@ def windowed_warp(
             (1, cp, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ns, wh, m, chunkw), x.dtype),
+            pltpu.VMEM((2, ns, wh // 8, 8, xqc), x.dtype),
             pltpu.SemaphoreType.DMA((2, ns)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, spec=spec, c=cp, qs=qs, m=m),
+        functools.partial(_warp_kernel, spec=spec, c=cp, qs=qs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bnt, cp, t), x.dtype),
         interpret=interpret,
     )(
-        p["oy"].reshape(bnt).astype(jnp.int32),
+        (p["oy"].reshape(bnt) // 8).astype(jnp.int32),
         p["jx"].reshape(bnt).astype(jnp.int32),
         (jnp.arange(bnt, dtype=jnp.int32) // nt),
         p["yl"].reshape(bnt, 1, t),
