@@ -7,13 +7,16 @@ targets cluster in a small window, so the scattered gather becomes dense
 MXU/VPU work on a VMEM-resident window — but four structural changes,
 each driven by round-2/3 measurements (tools/profile_window.py):
 
-  1. **No unfold, no XLA window gather.** The feature map is zero-padded
-     and reshaped (pure reshape) into an x-segment table
-     ``(B, Hp, NJ, XQ*C)``; each grid step DMAs its tile's ``ns`` window
-     segments HBM->VMEM directly (double-buffered across tiles, dynamic
-     offsets from scalar-prefetched per-tile origins). v1 materialized a
-     3x-duplicated unfolded copy plus a gathered window tensor (~35 ms at
-     864^2 C=9); here windows only ever exist in VMEM.
+  1. **No unfold.** The feature map is zero-padded and reshaped (pure
+     reshape) into an x-segment table; v1 materialized a 3x-duplicated
+     unfolded copy first. The corr kernel DMAs its windows HBM->VMEM
+     directly (double-buffered, scalar-prefetched per-tile origins, a
+     (nc, B, Hp, NJ, XQ, cc) table whose sliced dims are all leading);
+     the warp kernel gathers window rows XLA-side instead — its C=9
+     channel count cannot fill whole (8, 128) trailing tiles without
+     padding waste, and the in-kernel-DMA variants either tripped
+     Mosaic's trailing-tiled-dim rules or compiled pathologically
+     (see _warp_kernel notes).
   2. **Bounded-influence window origins.** v1 centered windows on the raw
      mean target; far out-of-image flows (sky, occlusion -> |flow| >> 1)
      dragged the mean so badly that most queries missed their window
@@ -111,55 +114,30 @@ def _exact_taps(x_flat, img_rows, y0, x0, fy, fx, h, w, c):
 
 
 def _warp_kernel(
-    oy_s, jx_s, img_s,          # scalar-prefetch (bnt,) int32; oy_s in 8-row units
     yl_ref, fy_ref, xl_ref, fx_ref, fpos_ref, fval_ref,  # VMEM per-tile
-    tab_ref,                     # ANY (NJ, B, Hp/8, 8, XQC)
+    win_ref,                     # VMEM (1, wh, ns*xqc) [x][c]-major window
     o_ref,                       # VMEM (1, C, T)
-    win, sems,                   # scratch: (2, ns, wh/8, 8, xqc), sems (2, ns)
     *, spec: WarpSpec, c: int, qs: int,
 ):
     """Per-tile windowed bilinear sampling.
 
-    Layout rules this kernel is built around (measured the hard way):
-    Mosaic tiles HBM memrefs on their trailing two dims and DMA slices /
-    dynamic indices there are illegal, so the table's window rows are
-    pre-split (Hp/8, 8) — the window origin is quantized to 8 rows and the
-    DMA slices only LEADING dims, copying whole (8, XQC) tiles. In-kernel,
-    the (wh/8, 8, xqc) window merges its LEADING dims to (wh, xqc) (minor
-    dim untouched — a legal reshape) so the y one-hot contraction is ONE
-    big MXU dot per segment, not a fragmented per-lane-chunk loop (48
-    small dots per query block ran 4x slower than the plain gather).
+    Windows are gathered XLA-side (one wide row per (tile, window-row,
+    segment) from the flat segment table — the fast per-row gather regime)
+    and arrive as a regular VMEM-blocked input. An in-kernel DMA variant
+    (scalar-prefetched origins, (Hp/8, 8, xqc) table) was built and either
+    tripped Mosaic layout rules (dynamic indexing / partial tiles on the
+    trailing tiled dims) or compiled pathologically slowly (>40 min);
+    the XLA gather costs ~20 ms/batch more at 864^2 and compiles in
+    minutes, so it is the production path.
+
+    Per query block: two exact bf16 0/1 one-hot dots against the window
+    rows (y corners; f32 weights applied after — identical arithmetic to
+    the plain gather's f32 4-corner combine), a per-segment x-selection,
+    and a one-hot scatter of the pre-gathered exact fixup values.
     """
-    i = pl.program_id(0)
     wh, xq, ns, t, kf = spec.wh, spec.xq, spec.ns, spec.t, spec.kf
     nq = t // qs
-    wh8 = wh // 8
-
-    def start_tile(ti, buf):
-        for s in range(ns):
-            pltpu.make_async_copy(
-                tab_ref.at[jx_s[ti] + s, img_s[ti], pl.ds(oy_s[ti], wh8)],
-                win.at[buf, s],
-                sems.at[buf, s],
-            ).start()
-
-    def wait_tile(buf):
-        for s in range(ns):
-            pltpu.make_async_copy(
-                tab_ref.at[0, 0, pl.ds(0, wh8)], win.at[buf, s], sems.at[buf, s]
-            ).wait()
-
-    buf = jax.lax.rem(i, 2)
-
-    @pl.when(i == 0)
-    def _():
-        start_tile(i, buf)
-
-    @pl.when(i + 1 < pl.num_programs(0))
-    def _():
-        start_tile(i + 1, 1 - buf)
-
-    wait_tile(buf)
+    xqc = xq * c
 
     f32 = jnp.float32
 
@@ -191,9 +169,10 @@ def _warp_kernel(
                 ri == yl + 1, fy, 0.0
             )
 
-        # fori over segments; s only ever indexes LEADING dims
-        def seg(s, acc):
-            w_s = win[buf, s].reshape(wh, xq * c)   # leading-dims merge
+        # static unroll over segments: contiguous 128-aligned minor slices
+        acc = jnp.zeros((c, qs), f32)
+        for s in range(ns):
+            w_s = win_ref[0, :, pl.ds(s * xqc, xqc)]   # (wh, xqc)
             if spec.dots == "bf16x2":
                 t0 = jax.lax.dot_general(
                     w_s, my0, (((0,), (0,)), ((), ())),
@@ -214,9 +193,7 @@ def _warp_kernel(
             sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
                 ci == xl + 1, fx, 0.0
             )
-            return acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
-
-        acc = jax.lax.fori_loop(0, ns, seg, jnp.zeros((c, qs), f32))
+            acc = acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
 
         out = jnp.where(ok, acc, 0.0) + fix
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
@@ -313,28 +290,31 @@ def windowed_warp(
     if h + 2 * pm < wh or -(-(w + 2 * pm) // xq) * xq < ww + xq:
         return grid_sample(x, flow)  # image smaller than a window
 
-    p = _plan(flow, h, w, spec, oy_quant=8)
+    p = _plan(flow, h, w, spec)
     nt, nh, nw, hp, wpx, njq = p["nt"], p["nh"], p["nw"], p["hp"], p["wpx"], p["njq"]
     bnt = b * nt
 
-    # segment table (NJ, B, Hp/8, 8, XQC): sliced dims (segment, image,
-    # 8-row window blocks) all leading; the trailing-two tiled dims are
-    # whole hardware tiles ((8, xqc) with xqc a 128 multiple) and are
-    # always copied whole — Mosaic rejects DMA slices / dynamic indices on
-    # the tiled trailing dims (measured: partial tiles crash the compiler,
-    # dynamic 2nd-minor indices fail alignment proofs). Channels pad so
-    # xq*cp is a 128 multiple; the window y-origin is quantized to 8 rows.
+    # flat segment table: pure pad + reshape (no unfold, no transpose);
+    # window rows are gathered XLA-side as (bnt, wh, ns) wide rows of xqc
+    # (the per-row gather regime that sustains ~80 GB/s). Channels pad so
+    # xqc is a 128 multiple (the kernel takes static 128-aligned minor
+    # slices per segment).
     import math as _math
 
     cp_unit = 128 // _math.gcd(xq, 128)
     cp = -(-c // cp_unit) * cp_unit
     xqc = xq * cp
-    hp8 = -(-hp // 8)
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))) if cp != c else x
-    xp = jnp.pad(
-        xpad, ((0, 0), (pm, pm + hp8 * 8 - hp), (pm, wpx - w - pm), (0, 0))
-    )
-    table = xp.reshape(b, hp8, 8, njq, xqc).transpose(3, 0, 1, 2, 4)
+    xp = jnp.pad(xpad, ((0, 0), (pm, pm), (pm, wpx - w - pm), (0, 0)))
+    table = xp.reshape(b, hp * njq, xqc)
+    rows = (
+        (p["oy"][..., None, None] + jnp.arange(wh)[None, None, :, None]) * njq
+        + p["jx"][..., None, None]
+        + jnp.arange(ns)[None, None, None, :]
+    )  # (B, nt, wh, ns)
+    win = jnp.take_along_axis(
+        table, rows.reshape(b, nt * wh * ns, 1), axis=1
+    ).reshape(bnt, wh, ns * xqc)
 
     # fixup slots: compact the needs-fix queries, gather their exact taps
     fpos = _compact_miss(
@@ -359,42 +339,33 @@ def windowed_warp(
     while t % qs:
         qs -= 1
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(bnt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf, cp), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, cp, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ns, wh // 8, 8, xqc), x.dtype),
-            pltpu.SemaphoreType.DMA((2, ns)),
-        ],
-    )
     out = pl.pallas_call(
         functools.partial(_warp_kernel, spec=spec, c=cp, qs=qs),
-        grid_spec=grid_spec,
+        grid=(bnt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kf, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kf, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, wh, ns * xqc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cp, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((bnt, cp, t), x.dtype),
         interpret=interpret,
     )(
-        (p["oy"].reshape(bnt) // 8).astype(jnp.int32),
-        p["jx"].reshape(bnt).astype(jnp.int32),
-        (jnp.arange(bnt, dtype=jnp.int32) // nt),
         p["yl"].reshape(bnt, 1, t),
         p["fyt"].reshape(bnt, 1, t).astype(jnp.float32),
         p["xl"].reshape(bnt, 1, t),
         p["fxt"].reshape(bnt, 1, t).astype(jnp.float32),
         fpos,
         fval.astype(jnp.float32),
-        table,
+        win,
     )
 
     # bounded exact recompute of over-budget tiles
