@@ -48,6 +48,7 @@ def flow_stats(a, b, res):
 
 
 def main():
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
     torch.manual_seed(0)
     spec = trp.RoMaSpec().eval()
     for m in spec.modules():
@@ -65,8 +66,17 @@ def main():
     sf_c = 1.0
     sf_u = math.sqrt(UP * UP / (COARSE * COARSE))
 
+    cache = "/tmp/fullres_torch.npz"
+    if phase == "jax" and os.path.exists(cache):
+        z = np.load(cache)
+        tc = {int(k[2:]): {"flow": torch.tensor(z[k]), "certainty": torch.tensor(z["cc" + k[2:]])} for k in z.files if k.startswith("tf")}
+        tu = {int(k[2:]): {"flow": torch.tensor(z[k]), "certainty": torch.tensor(z["cu" + k[2:]])} for k in z.files if k.startswith("uf")}
+        tc = {s_: {"flow": tc[s_]["flow"], "certainty": tc[s_]["certainty"]} for s_ in tc}
+    else:
+        tc = tu = None
     t0 = time.time()
-    with torch.no_grad():
+    if tc is None:
+      with torch.no_grad():
         tc = spec(
             torch.tensor(im_A).permute(0, 3, 1, 2),
             torch.tensor(im_B).permute(0, 3, 1, 2),
@@ -85,6 +95,16 @@ def main():
             scale_factor=sf_u,
         )
         print(f"torch upsample pass done in {time.time()-t1:.0f}s", flush=True)
+      np.savez(
+          cache,
+          **{f"tf{s_}": d["flow"].numpy() for s_, d in tc.items()},
+          **{f"cc{s_}": d["certainty"].numpy() for s_, d in tc.items()},
+          **{f"uf{s_}": d["flow"].numpy() for s_, d in tu.items()},
+          **{f"cu{s_}": d["certainty"].numpy() for s_, d in tu.items()},
+      )
+    if phase == "torch":
+        print("torch phase cached; run with 'jax' to finish")
+        return
 
     import jax
     import jax.numpy as jnp
