@@ -164,6 +164,26 @@ def attention_ms():
     print(f"  DINOv2-shape attention (b*h={b*hh}, n={n}): {t1*1e3:8.2f} ms", flush=True)
 
 
+# ------------------------------------------------------------------ 6
+@step("fullres-jax")
+def fullres_jax():
+    if not os.path.exists("/tmp/fullres_torch.npz"):
+        print("  no torch cache; skipped", flush=True)
+        return
+    sys.argv = ["fullres_parity.py", "jax"]
+    import fullres_parity
+
+    fullres_parity.main()
+
+
+# ------------------------------------------------------------------ 7
+@step("aot-multichip")
+def aot_multichip():
+    import aot_multichip_compile
+
+    aot_multichip_compile.main()
+
+
 def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
     for name, fn in STEPS:
