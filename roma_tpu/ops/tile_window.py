@@ -62,14 +62,20 @@ from .window_warp import _compact_miss
 
 @dataclass(frozen=True)
 class WarpSpec:
-    th: int = 64        # query tile height
-    tw: int = 64        # query tile width
-    wh: int = 128       # window rows
+    # Small tiles on purpose: 64^2-query tiles concentrated enough misses
+    # under adversarial warps (speckle outliers, discontinuities) to blow
+    # any per-tile budget and trip the whole-batch fallback (~160 fixable
+    # misses/tile measured at 864^2), and their windows cost 3-4x more MXU
+    # per query. 16^2 tiles bound the damage per tile — same recipe that
+    # made the corr kernel robust.
+    th: int = 16        # query tile height
+    tw: int = 16        # query tile width
+    wh: int = 64        # window rows
     xq: int = 64        # x segment quantum (window origin granularity)
-    ns: int = 3         # segments per window; window cols ww = ns*xq
+    ns: int = 2         # segments per window; window cols ww = ns*xq
     pm: int = 32        # zero-pad margin around the image
-    kf: int = 128       # per-tile in-kernel fixup slots
-    nt_bad: int = 64    # over-budget tiles recomputed exactly per batch
+    kf: int = 32        # per-tile in-kernel fixup slots
+    nt_bad: int = 64    # min over-budget tiles recomputed exactly per batch
     dots: str = "bf16x2"  # 'bf16x2' (two exact 0/1 dots) or 'f32'
 
     @property

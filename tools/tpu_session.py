@@ -45,10 +45,10 @@ def warp_bench():
     for h in (864, 560):
         flow = realistic_flow(h, h)
         x = jnp.asarray(np.random.RandomState(1).randn(B, h, h, 9), jnp.bfloat16)
-        for dots, ns, xq in (("bf16x2", 3, 64), ("bf16x2", 2, 128)):
-            spec = WarpSpec(dots=dots, ns=ns, xq=xq)
+        for th, wh in ((16, 64), (16, 48), (32, 64)):
+            spec = WarpSpec(th=th, tw=th, wh=wh)
             t1 = timeit(lambda x, f: windowed_warp(x, f, spec=spec), x, flow, iters=20)
-            print(f"  {h}^2 C=9 windowed dots={dots} ns={ns} xq={xq}: {t1*1e3:8.2f} ms", flush=True)
+            print(f"  {h}^2 C=9 windowed th={th} wh={wh}: {t1*1e3:8.2f} ms", flush=True)
         got = np.asarray(windowed_warp(x, flow, spec=WarpSpec()), np.float32)
         ref = np.asarray(grid_sample(x, flow), np.float32)
         print(f"  {h}^2 max|delta| vs plain: {np.abs(got-ref).max():.5f}", flush=True)
