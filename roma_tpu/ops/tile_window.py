@@ -318,9 +318,9 @@ def windowed_warp(
         + p["jx"][..., None, None]
         + jnp.arange(ns)[None, None, None, :]
     )  # (B, nt, wh, ns)
-    win = jnp.take_along_axis(
-        table, rows.reshape(b, nt * wh * ns, 1), axis=1
-    ).reshape(bnt, wh, ns * xqc)
+    table_flat = table.reshape(b * hp * njq, xqc)
+    rows_g = rows + (jnp.arange(b, dtype=jnp.int32) * (hp * njq))[:, None, None, None]
+    rows_g = rows_g.reshape(bnt, wh * ns)
 
     # fixup slots: compact the needs-fix queries, gather their exact taps
     fpos = _compact_miss(
@@ -345,34 +345,63 @@ def windowed_warp(
     while t % qs:
         qs -= 1
 
-    out = pl.pallas_call(
-        functools.partial(_warp_kernel, spec=spec, c=cp, qs=qs),
-        grid=(bnt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, wh, ns * xqc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    # tile-chunked execution: windows are (wh*ww)/(th*tw) x bigger than the
+    # queries they serve (32x at the default spec) — materializing all of
+    # them at once OOMs HBM at 864^2. Gather + kernel run per chunk of
+    # tiles under lax.map, bounding the window transient to ~0.5 GB.
+    tc_budget = max(256, (512 * 1024 * 1024) // (wh * ns * xqc * x.dtype.itemsize))
+    tcn = min(bnt, tc_budget)
+    nchunks = -(-bnt // tcn)
+    padt = nchunks * tcn - bnt
+
+    def padded_t(a):
+        return jnp.pad(a, ((0, padt),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            nchunks, tcn, *a.shape[1:]
+        )
+
+    kern = functools.partial(_warp_kernel, spec=spec, c=cp, qs=qs)
+
+    def run_chunk(args):
+        yl_c, fy_c, xl_c, fx_c, fpos_c, fval_c, rows_c = args
+        win_c = jnp.take(table_flat, rows_c.reshape(-1), axis=0).reshape(
+            tcn, wh, ns * xqc
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(tcn,),
+            in_specs=[
+                pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kf, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kf, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, wh, ns * xqc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cp, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, cp, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bnt, cp, t), x.dtype),
-        interpret=interpret,
-    )(
-        p["yl"].reshape(bnt, 1, t),
-        p["fyt"].reshape(bnt, 1, t).astype(jnp.float32),
-        p["xl"].reshape(bnt, 1, t),
-        p["fxt"].reshape(bnt, 1, t).astype(jnp.float32),
-        fpos,
-        fval.astype(jnp.float32),
-        win,
+            out_shape=jax.ShapeDtypeStruct((tcn, cp, t), x.dtype),
+            interpret=interpret,
+        )(yl_c, fy_c, xl_c, fx_c, fpos_c, fval_c, win_c)
+
+    chunk_args = (
+        padded_t(p["yl"].reshape(bnt, 1, t)),
+        padded_t(p["fyt"].reshape(bnt, 1, t).astype(jnp.float32)),
+        padded_t(p["xl"].reshape(bnt, 1, t)),
+        padded_t(p["fxt"].reshape(bnt, 1, t).astype(jnp.float32)),
+        padded_t(fpos),
+        padded_t(fval.astype(jnp.float32)),
+        padded_t(rows_g),
     )
+    if nchunks == 1:
+        out = run_chunk(jax.tree.map(lambda a: a[0], chunk_args))
+    else:
+        out = jax.lax.map(run_chunk, chunk_args).reshape(
+            nchunks * tcn, cp, t
+        )[:bnt]
 
     # bounded exact recompute of over-budget tiles
     counts = p["counts"].reshape(bnt)
