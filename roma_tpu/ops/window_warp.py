@@ -403,28 +403,29 @@ def windowed_grid_sample(
 def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
     """Dispatcher for the matcher's x_hat lookup (matcher.py:213).
 
-    Routes the narrow-channel, large-map lookups (scale 1: C=9 at 560^2 /
-    864^2, where the plain gather hits the measured XLA:TPU gather wall)
-    to the v2 windowed tile sampler (ops/tile_window.windowed_warp —
-    exact, per-tile fixup budgets + bounded bad-tile recompute).
-    Everything else — wide channels (one-hot MXU contraction doesn't pay
-    past C~16), small maps, training (needs gradients), non-TPU backends —
-    keeps the plain gather. ROMA_DISABLE_TILE_WINDOW=1 reverts.
+    CLOSED as a negative result in round 3: the plain gather stays.
 
-    This module's ``windowed_grid_sample`` (v1) remains the documented
-    staging experiment; the production path is tile_window.
+    The windowed one-hot samplers (this module's v1 and
+    tile_window.windowed_warp v2 — exact, parity-tested, with per-tile
+    fixup budgets and bounded bad-tile recompute) cannot beat the plain
+    gather at the scale-1 shapes, for a structural reason the round-2
+    estimate missed: a bilinear query needs only ONE packed-corner table
+    row (~70 B) from the plain gather, so the gather is already
+    byte-lean; any windowed scheme pays window-area duplication on top.
+    Measured on v5e at 864^2 C=9 bs16 (plain gather: 192 ms):
+
+      * 64^2-query tiles (duplication ~6x, 120 B/query): best case
+        ~120-160 ms on smooth warps, but adversarial warps (off-image
+        bands, speckle outliers) concentrate ~160 fixable misses/tile,
+        blow every per-tile budget, and trip the whole-batch fallback ->
+        835-975 ms.
+      * 16^2-query tiles (budget-robust like the corr kernel): window
+        fetch alone is 640 B/query = 7.6 GB/batch -> 546 ms.
+
+    The windowed formulation wins where the baseline gathers MANY bytes
+    per query — the (2r+2)^2-tap local correlation (2.6-4.3x, see
+    tile_window.windowed_local_corr) — not where it gathers one row.
+    ``inference`` is kept for signature stability.
     """
-    b, h, w, c = y.shape
-    n = flow.shape[1] * flow.shape[2]
-    if (
-        inference
-        and c <= 16
-        and n >= 200_000
-        and jax.default_backend() == "tpu"
-    ):
-        from .local_corr import _windowed_disabled
-        from .tile_window import windowed_warp
-
-        if not _windowed_disabled():
-            return windowed_warp(y, flow)
+    del inference
     return grid_sample(y, flow)

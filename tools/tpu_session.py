@@ -33,27 +33,6 @@ def step(name):
 STEPS = []
 
 
-# ------------------------------------------------------------------ 1
-@step("warp-bench")
-def warp_bench():
-    from profile_window import realistic_flow, timeit
-
-    from roma_tpu.ops.grid_sample import grid_sample
-    from roma_tpu.ops.tile_window import WarpSpec, windowed_warp
-
-    B = 16
-    for h in (864, 560):
-        flow = realistic_flow(h, h)
-        x = jnp.asarray(np.random.RandomState(1).randn(B, h, h, 9), jnp.bfloat16)
-        for th, wh in ((16, 64), (16, 48), (32, 64)):
-            spec = WarpSpec(th=th, tw=th, wh=wh)
-            t1 = timeit(lambda x, f: windowed_warp(x, f, spec=spec), x, flow, iters=20)
-            print(f"  {h}^2 C=9 windowed th={th} wh={wh}: {t1*1e3:8.2f} ms", flush=True)
-        got = np.asarray(windowed_warp(x, flow, spec=WarpSpec()), np.float32)
-        ref = np.asarray(grid_sample(x, flow), np.float32)
-        print(f"  {h}^2 max|delta| vs plain: {np.abs(got-ref).max():.5f}", flush=True)
-
-
 # ------------------------------------------------------------------ 2
 @step("e2e-bench-560-864")
 def e2e_bench():
