@@ -700,22 +700,6 @@ def windowed_local_corr(
     pp = p_ * p_
     k_out = (2 * radius + 1) ** 2
 
-    # adaptive channel chunk: the largest {512,256,128} whose double-buffered
-    # window + (if multi-chunk) f32 tile corrvol fit ~12 MB VMEM. A single
-    # chunk (nc=1) keeps the corrvol in registers and K=C on the MXU.
-    # An explicitly non-default spec.cc is respected (tests pin both paths).
-    cc = spec.cc
-    if cc == CorrSpec.cc:
-        cmax = max(128, -(-c // 128) * 128)
-        for cand in (512, 256, 128):
-            if cand > cmax:
-                continue
-            win_b = 2 * wh * ww * cand * f1.dtype.itemsize
-            ncand = -(-c // cand)
-            dacc_b = 0 if ncand == 1 else wh * ww * t * 4
-            if win_b + dacc_b + wh * ww * t * 4 <= 12 * 1024 * 1024:
-                cc = cand
-                break
 
     from .local_corr import _local_corr_patch_single
 
@@ -734,6 +718,59 @@ def windowed_local_corr(
         plan["nt"], plan["nh"], plan["nw"], plan["hp"], plan["wpx"], plan["njq"]
     )
     bnt = b * nt
+
+    counts = plan["counts"].reshape(bnt)
+    nt_bad = min(max(spec.nt_bad, bnt // 24), bnt)
+    n_over = jnp.sum(counts > kf)
+
+    # The whole windowed computation (table build, fixup gathers, Pallas
+    # kernel, bad-tile recompute) lives INSIDE the cond's true branch:
+    # when the flow is too wild for the budgets (e.g. random-weight
+    # benchmark warps, pure-noise coarse matches) the false branch runs
+    # the plain patch path WITHOUT paying for the windowed work first.
+    # Only the true branch contains pallas calls (a cond with pallas in
+    # BOTH branches compiles pathologically — measured round 2).
+    def windowed_branch(_):
+        return _windowed_corr_compute(
+            f0, f1, radius, flow, spec, plan, counts, nt_bad, interpret
+        )
+
+    def patch_branch(_):
+        out = jax.lax.map(
+            lambda args: _local_corr_patch_single(*args, radius), (f0, f1, flow)
+        )
+        return out.astype(f0.dtype)
+
+    return jax.lax.cond(n_over <= nt_bad, windowed_branch, patch_branch, None)
+
+
+def _windowed_corr_compute(
+    f0, f1, radius, flow, spec, plan, counts, nt_bad, interpret
+):
+    b, h, w, c = f0.shape
+    th, tw, wh, xq, ns, pm, kf, cc = (
+        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf, spec.cc
+    )
+    ww, t = spec.ww, spec.t
+    p_ = 2 * radius + 2
+    pp = p_ * p_
+    nt, nh, nw, hp, wpx, njq = (
+        plan["nt"], plan["nh"], plan["nw"], plan["hp"], plan["wpx"], plan["njq"]
+    )
+    bnt = b * nt
+
+    # adaptive channel chunk (see windowed_local_corr notes)
+    if cc == CorrSpec.cc:
+        cmax = max(128, -(-c // 128) * 128)
+        for cand in (512, 256, 128):
+            if cand > cmax:
+                continue
+            win_b = 2 * wh * ww * cand * f1.dtype.itemsize
+            ncand = -(-c // cand)
+            dacc_b = 0 if ncand == 1 else wh * ww * t * 4
+            if win_b + dacc_b + wh * ww * t * 4 <= 12 * 1024 * 1024:
+                cc = cand
+                break
 
     # channel pad to a cc multiple (zero channels contribute 0 to the dots)
     cpad = -(-c // cc) * cc
@@ -816,8 +853,6 @@ def windowed_local_corr(
     )
 
     # bounded exact recompute of over-budget tiles
-    counts = plan["counts"].reshape(bnt)
-    nt_bad = min(max(spec.nt_bad, bnt // 24), bnt)
     bad_c, bad_i = jax.lax.top_k(counts, nt_bad)
     y0_b = jnp.take(plan["y0t"].reshape(bnt, t), bad_i, axis=0)
     x0_b = jnp.take(plan["x0t"].reshape(bnt, t), bad_i, axis=0)
@@ -851,16 +886,4 @@ def windowed_local_corr(
     iy = (g[..., 1] + 1) * h / 2 - 0.5
     fx = (ix - jnp.floor(ix))[..., None, None]
     fy = (iy - jnp.floor(iy))[..., None, None]
-    windowed = _combine_corners(dp, fy, fx).astype(f0.dtype)
-
-    n_over = jnp.sum(counts > kf)
-
-    def fallback(_):
-        out = jax.lax.map(
-            lambda args: _local_corr_patch_single(*args, radius), (f0, f1, flow)
-        )
-        return out.astype(f0.dtype)
-
-    return jax.lax.cond(
-        n_over <= nt_bad, lambda _: windowed, fallback, operand=None
-    )
+    return _combine_corners(dp, fy, fx).astype(f0.dtype)
