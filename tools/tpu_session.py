@@ -38,7 +38,10 @@ STEPS = []
 def e2e_bench():
     from roma_tpu.models.zoo import roma_outdoor
 
+    from bench import smooth_coarse_warp
+
     model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
+    smooth_coarse_warp(model)
     rs = np.random.RandomState(0)
     B = 8
     im_A = jnp.asarray(rs.randn(B, 560, 560, 3), model.dtype)
@@ -60,6 +63,7 @@ def e2e_bench():
 
     os.environ["ROMA_DISABLE_TILE_WINDOW"] = "1"
     model2 = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
+    smooth_coarse_warp(model2)
     w2, c2 = model2.match(im_A, im_B, im_A_high_res=im_A_u, im_B_high_res=im_B_u)
     float(jnp.sum(c2))
     t0 = time.perf_counter()
@@ -80,7 +84,10 @@ def e2e_bench():
 def bench_1344():
     from roma_tpu.models.zoo import roma_outdoor
 
+    from bench import smooth_coarse_warp
+
     model = roma_outdoor(coarse_res=672, upsample_res=1344, amp=True)
+    smooth_coarse_warp(model)
     rs = np.random.RandomState(0)
     B = 4
     im_A = jnp.asarray(rs.randn(B, 672, 672, 3), model.dtype)
