@@ -435,9 +435,13 @@ def fused_refiner_stack(
     # both sides), so deep stacks pay a large redundant-compute factor
     # ((s+4g)/s per chunk of g blocks). One extra HBM round-trip per chunk
     # (~1 ms at 864^2) buys halo 18 -> 6, a ~1.8x vector-op reduction.
-    # s_rows=40 fills the 16 MB VMEM scope for bf16; halve for 4-byte dtypes.
+    # s_rows=40 fills the 16 MB VMEM scope for bf16 at the 864-wide strips
+    # it was tuned on; wider maps (1344 eval config -> WP=1408) scale the
+    # strip rows down to stay inside the scope, f32 halves again.
     g = 3
-    s_rows = 40 if x.dtype.itemsize <= 2 else 20
+    wp = _round_up(x.shape[2] + 2, 128)
+    base = 40 if x.dtype.itemsize <= 2 else 20
+    s_rows = max(8, min(base, base * 896 // wp))
     for i in range(0, len(blocks), g):
         x = _fused_cmajor(x, blocks[i : i + g], interpret=interpret, s_rows=s_rows)
     return x

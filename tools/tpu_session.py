@@ -108,31 +108,6 @@ def bench_1344():
     print(f"  672->1344 bs4: {dt*1e3:.1f} ms/batch = {B/dt:.3f} pairs/s/chip", flush=True)
 
 
-# ------------------------------------------------------------------ 4
-@step("hcw-bigC-record")
-def hcw_bigc():
-    from profile_window import timeit
-
-    from roma_tpu.ops import pallas_refiner as pr
-    from roma_tpu.ops.pallas_hcw_refiner import hcw_refiner_stack
-
-    rs = np.random.RandomState(0)
-    for h, c in ((108, 1137), (216, 569)):
-        x = jnp.asarray(rs.randn(16, h, h, c), jnp.bfloat16)
-        blocks = [pr.fold_block(
-            np.asarray(rs.randn(5, 5, 1, c) * 0.2, np.float32),
-            np.asarray(rs.randn(c) * 0.1, np.float32),
-            np.asarray(1 + 0.1 * rs.randn(c), np.float32),
-            np.asarray(0.1 * rs.randn(c), np.float32),
-            np.asarray(0.05 * rs.randn(c), np.float32),
-            np.asarray(np.abs(1 + 0.2 * rs.randn(c)), np.float32),
-            np.asarray(rs.randn(1, 1, c, c) * (1.5 / np.sqrt(c)), np.float32),
-            np.asarray(rs.randn(c) * 0.1, np.float32),
-        ) for _ in range(9)]
-        t1 = timeit(lambda d: hcw_refiner_stack(d, blocks), x, iters=5)
-        print(f"  hcw {h}^2 C={c}: {t1*1e3:8.2f} ms (XLA scanned: s8-up 43.9 / s4-up ~?)", flush=True)
-
-
 # ------------------------------------------------------------------ 5
 @step("attention-ms")
 def attention_ms():
