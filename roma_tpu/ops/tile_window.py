@@ -768,7 +768,9 @@ def _windowed_corr_compute(
             win_b = 2 * wh * ww * cand * f1.dtype.itemsize
             ncand = -(-c // cand)
             dacc_b = 0 if ncand == 1 else wh * ww * t * 4
-            if win_b + dacc_b + wh * ww * t * 4 <= 12 * 1024 * 1024:
+            # extraction temporaries (p x XS + masks) ride on top of the
+            # window + corrvol; leave ~6 MB of the 16 MB scope for them
+            if win_b + dacc_b + wh * ww * t * 4 <= 10 * 1024 * 1024:
                 cc = cand
                 break
 

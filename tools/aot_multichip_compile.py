@@ -45,7 +45,7 @@ def main():
     from roma_tpu.train import RobustLosses, make_optimizer, make_train_step
     from roma_tpu.utils.fast_init import shape_init
 
-    topo = topologies.get_topology_desc("v5e:2x4", "tpu", topology_name="v5e:2x4")
+    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
     devices = list(topo.devices)
     print(f"AOT topology devices: {len(devices)}", flush=True)
     mesh = Mesh(np.asarray(devices).reshape(N_DEV), ("data",))
