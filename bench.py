@@ -58,9 +58,12 @@ def main():
     coarse, up = (560, 864) if on_tpu else (140, 168)
     iters = 10 if on_tpu else 2
 
-    # real converted weights when provided (timing is weight-independent —
-    # control flow is shape-static — but this lets the bench double as an
-    # end-to-end run of the released model)
+    # real converted weights when provided (lets the bench double as an
+    # end-to-end run of the released model). Without weights the coarse
+    # classifier is biased to one anchor (smooth_coarse_warp) so the
+    # windowed local-correlation path's data-dependent budget check routes
+    # the way it does in production — shapes and per-tile work are
+    # otherwise identical for any in-budget warp.
     model = roma_outdoor(
         weights=os.environ.get("ROMA_WEIGHTS"),
         dinov2_weights=os.environ.get("DINOV2_WEIGHTS"),
