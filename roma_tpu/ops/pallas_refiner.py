@@ -440,10 +440,11 @@ def fused_refiner_stack(
     # strip rows down to stay inside the scope, f32 halves again.
     g = 3
     wp = _round_up(x.shape[2] + 2, 128)
-    base = 40 if x.dtype.itemsize <= 2 else 20
     # the pw stage's f32 strip copies scale with wp while the halo rows
-    # don't, so the row budget shrinks faster than 1/wp (1344-wide maps
-    # OOM'd at the linear scaling; quadratic fits with margin)
+    # don't, so the row budget shrinks faster than 1/wp. Empirical anchors
+    # (measured OOMs on v5e): bf16 s=40 fits at wp=896 but s=25 does NOT
+    # fit at wp=1408; f32 s=20 does NOT fit at wp=896.
+    base = 40 if x.dtype.itemsize <= 2 else 10
     s_rows = max(8, min(base, int(base * (896 / wp) ** 2)))
     for i in range(0, len(blocks), g):
         x = _fused_cmajor(x, blocks[i : i + g], interpret=interpret, s_rows=s_rows)
