@@ -122,6 +122,10 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("data")),
         out_specs=(P(), P(), P(), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation, and
+        # the TPU lowering of the step contains pallas kernels (fused
+        # attention); the vma static check rejects them (jax 0.9)
+        check_vma=False,
     )
     return jax.jit(sharded)
 
