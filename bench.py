@@ -51,6 +51,11 @@ def smooth_coarse_warp(model):
 def main():
     import os
 
+    # Hermetic by default: never block the bench on a weight download
+    # attempt. Opt into pretrained runs explicitly via ROMA_WEIGHTS.
+    if not os.environ.get("ROMA_WEIGHTS"):
+        os.environ.setdefault("ROMA_TPU_OFFLINE", "1")
+
     from roma_tpu.models.zoo import roma_outdoor
 
     on_tpu = jax.default_backend() != "cpu"

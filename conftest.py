@@ -7,6 +7,8 @@
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic tests: never attempt weight downloads (zoo/download.py)
+os.environ["ROMA_TPU_OFFLINE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -2,9 +2,12 @@
 (romatch/models/model_zoo/__init__.py:18-94): ``tiny_roma_v1_outdoor``,
 ``roma_outdoor``, ``roma_indoor``.
 
-Weight files are the released torch ``.pth`` checkpoints; pass local paths
-(this environment has no network egress). With no weights the models come up
-randomly initialized — correct shapes/jit, not pretrained accuracy.
+Weight files are the released torch ``.pth`` checkpoints. Like the
+reference (``torch.hub.load_state_dict_from_url``), constructors download
+and cache them by default (``download.py``, ``~/.cache/roma_tpu``); pass
+local paths to skip the network, set ``ROMA_TPU_OFFLINE=1`` to force-skip.
+Without weights the models come up randomly initialized — correct
+shapes/jit, not pretrained accuracy.
 """
 from __future__ import annotations
 
@@ -15,7 +18,7 @@ import jax.numpy as jnp
 from ..config import RoMaConfig
 from ..roma import RegressionMatcher
 from ..tiny import TinyRoMa
-from . import convert
+from . import convert, download
 
 WEIGHT_URLS = {
     "romatch": {
@@ -26,6 +29,8 @@ WEIGHT_URLS = {
         "outdoor": "https://github.com/Parskatt/storage/releases/download/roma/tiny_roma_v1_outdoor.pth",
     },
     "dinov2": "https://dl.fbaipublicfiles.com/dinov2/dinov2_vitl14/dinov2_vitl14_pretrain.pth",
+    # torch.hub.load('verlab/accelerated_features', 'XFeat') resolves to:
+    "xfeat": "https://github.com/verlab/accelerated_features/raw/main/weights/xfeat.pt",
 }
 
 
@@ -36,6 +41,12 @@ def _load_torch_state_dict(path):
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
     return convert.state_dict_to_numpy(sd)
+
+
+def _fetch_state_dict(url):
+    """Download+cache ``url``; None when the environment is offline."""
+    path = download.fetch(url)
+    return None if path is None else _load_torch_state_dict(path)
 
 
 def tiny_roma_v1_outdoor(
@@ -50,6 +61,10 @@ def tiny_roma_v1_outdoor(
       weights: path to tiny_roma_v1_outdoor.pth (or converted numpy dict).
       xfeat_weights: path to the XFeat hub checkpoint (state dict of `.net`).
     """
+    if weights is None:
+        weights = _fetch_state_dict(WEIGHT_URLS["tiny_roma_v1"]["outdoor"])
+    if xfeat_weights is None:
+        xfeat_weights = _fetch_state_dict(WEIGHT_URLS["xfeat"])
     if weights is not None and xfeat_weights is not None:
         tiny_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
         xfeat_sd = (
@@ -74,11 +89,14 @@ def _roma_model(
     dtype: Any = jnp.float32,
     amp: bool = True,
     config: RoMaConfig | None = None,
+    variant: str | None = None,
 ) -> RegressionMatcher:
     """Build a full RoMa matcher (reference model_zoo/roma_models.py:32-205).
 
     ``amp=True`` maps the reference's fp16 autocast regions to bf16 compute
     (the TPU-native mixed precision); GP solve and out_convs stay f32.
+    ``variant`` ("outdoor"/"indoor") selects the released checkpoint to
+    auto-download when no weights are passed.
     """
     if isinstance(coarse_res, int):
         coarse_res = (coarse_res, coarse_res)
@@ -86,6 +104,11 @@ def _roma_model(
         upsample_res = (upsample_res, upsample_res)
     config = config or RoMaConfig()
     compute_dtype = jnp.bfloat16 if amp else dtype
+    if variant is not None and config == RoMaConfig():
+        if weights is None:
+            weights = _fetch_state_dict(WEIGHT_URLS["romatch"][variant])
+        if weights is not None and dinov2_weights is None:
+            dinov2_weights = _fetch_state_dict(WEIGHT_URLS["dinov2"])
     if weights is not None and dinov2_weights is not None:
         roma_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
         dino_sd = (
@@ -122,6 +145,7 @@ def roma_outdoor(
         dinov2_weights=dinov2_weights,
         coarse_res=coarse_res,
         upsample_res=upsample_res,
+        variant="outdoor",
         **kw,
     )
 
@@ -136,5 +160,6 @@ def roma_indoor(
         dinov2_weights=dinov2_weights,
         coarse_res=coarse_res,
         upsample_res=upsample_res,
+        variant="indoor",
         **kw,
     )

@@ -41,3 +41,24 @@ def test_tiny_constructs():
 def test_roma_indoor_constructs():
     model = roma_tpu.roma_indoor(coarse_res=56, upsample_res=64, amp=False, config=TINY)
     assert model.get_output_resolution() == (64, 64)
+
+
+def test_weight_download_offline_fallback(monkeypatch, tmp_path):
+    """zoo/download degrades gracefully with no egress: first failed fetch
+    flips the process offline flag; cached files still resolve."""
+    from roma_tpu.models.zoo import download
+
+    monkeypatch.setenv("ROMA_TPU_CACHE", str(tmp_path))
+    monkeypatch.delenv("ROMA_TPU_OFFLINE", raising=False)
+    monkeypatch.setattr(download, "_egress_ok", None)
+    # unroutable discard port -> fast connection failure on any host
+    assert download.fetch("http://127.0.0.1:9/x.pth", timeout=0.5) is None
+    assert download.download_available() is False
+    # a cached file short-circuits even when offline
+    cached = tmp_path / "y.pth"
+    cached.write_bytes(b"x")
+    assert download.fetch("http://127.0.0.1:9/y.pth") == str(cached)
+    # env kill-switch
+    monkeypatch.setenv("ROMA_TPU_OFFLINE", "1")
+    monkeypatch.setattr(download, "_egress_ok", None)
+    assert download.download_available() is False

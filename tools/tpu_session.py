@@ -16,6 +16,7 @@ import traceback
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tools"))
+os.environ.setdefault("ROMA_TPU_OFFLINE", "1")  # hermetic benches
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +34,7 @@ def step(name):
 STEPS = []
 
 
-# ------------------------------------------------------------------ 2
+# ------------------------------------------------------------------ 1
 @step("e2e-bench-560-864")
 def e2e_bench():
     from roma_tpu.models.zoo import roma_outdoor
@@ -108,24 +109,7 @@ def bench_1344():
     print(f"  672->1344 bs4: {dt*1e3:.1f} ms/batch = {B/dt:.3f} pairs/s/chip", flush=True)
 
 
-# ------------------------------------------------------------------ 5
-@step("attention-ms")
-def attention_ms():
-    from profile_window import timeit
-
-    from roma_tpu.ops.pallas_attention import fused_attention
-
-    rs = np.random.RandomState(0)
-    b, hh, n, d = 32, 16, 1601, 64
-    npad = -(-n // 128) * 128
-    q = jnp.asarray(rs.randn(b, hh, npad, d), jnp.bfloat16)
-    k = jnp.asarray(rs.randn(b, hh, npad, d), jnp.bfloat16)
-    v = jnp.asarray(rs.randn(b, hh, npad, d), jnp.bfloat16)
-    t1 = timeit(lambda q, k, v: fused_attention(q, k, v, n_valid=n), q, k, v, iters=20)
-    print(f"  DINOv2-shape attention (b*h={b*hh}, n={n}): {t1*1e3:8.2f} ms", flush=True)
-
-
-# ------------------------------------------------------------------ 6
+# ------------------------------------------------------------------ 3
 @step("fullres-jax")
 def fullres_jax():
     if not os.path.exists("/tmp/fullres_torch.npz"):
@@ -137,12 +121,17 @@ def fullres_jax():
     fullres_parity.main()
 
 
-# ------------------------------------------------------------------ 7
-@step("aot-multichip")
-def aot_multichip():
-    import aot_multichip_compile
+# ------------------------------------------------------------------ 4
+@step("hcw-bigC-record")
+def hcw_bigc():
+    import bench_hcw_refiner
 
-    aot_multichip_compile.main()
+    # C=144 numbers already recorded; the big-C shapes needed the
+    # 8-aligned channel pad (Mosaic memref_slice rule).
+    bench_hcw_refiner.SHAPES = [
+        s for s in bench_hcw_refiner.SHAPES if s[2] > 144
+    ]
+    bench_hcw_refiner.main()
 
 
 def main():
