@@ -150,18 +150,21 @@ def _hcw_block(x, blk, s_rows: int, interpret: bool = False):
     kk = blk["dw"].shape[0]
     p = kk // 2
     w = blk["w"]
+    ct = blk["dw"].shape[-1]  # true channel count (c may be 8-padded)
     ns = -(-h // s_rows)
     hp = ns * s_rows + 2 * p
     xp = jnp.zeros((b, hp, c, wp), x.dtype)
     xp = jax.lax.dynamic_update_slice(xp, x, (0, p, 0, 0))
 
     wts = jnp.zeros((c, 32), jnp.float32)
-    wts = wts.at[:, : kk * kk].set(
-        blk["dw"].reshape(kk * kk, c).T.astype(jnp.float32)
+    wts = wts.at[:ct, : kk * kk].set(
+        blk["dw"].reshape(kk * kk, ct).T.astype(jnp.float32)
     )
-    wts = wts.at[:, kk * kk].set(blk["db"])
-    wts = wts.at[:, kk * kk + 1].set(blk["b2"])
-    w2 = blk["w2"].astype(x.dtype)  # (out, in) after transpose below
+    wts = wts.at[:ct, kk * kk].set(blk["db"])
+    wts = wts.at[:ct, kk * kk + 1].set(blk["b2"])
+    w2 = jnp.zeros((c, c), x.dtype).at[:ct, :ct].set(
+        blk["w2"].astype(x.dtype)
+    )  # (out, in) after transpose below
 
     out = pl.pallas_call(
         functools.partial(
@@ -194,8 +197,12 @@ def hcw_refiner_stack(x, blocks, interpret: bool = False, s_rows: int | None = N
     """
     b, h, w, c = x.shape
     wp = _round_up(w + 2 * 2, 128)
+    # Mosaic requires the leading-dim HBM strip slice's sublane dim (C) to
+    # be 8-aligned; zero-pad channels (zero dw/db/w2/b2 rows keep padded
+    # channels exactly zero through every block).
+    cp = _round_up(c, 8)
     xt = jnp.transpose(x, (0, 1, 3, 2))  # (B, H, C, W)
-    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, cp - c), (0, wp - w)))
     if s_rows is None:
         # VMEM: double-buffered strip (2*(s+4) rows) + double-buffered out
         # block (2*s rows) + w2, under ~12 MB
@@ -206,4 +213,4 @@ def hcw_refiner_stack(x, blocks, interpret: bool = False, s_rows: int | None = N
     for blk in blocks:
         blk = dict(blk, w=w)
         xt = _hcw_block(xt, blk, s_rows, interpret=interpret)
-    return jnp.transpose(xt[:, :, :, :w], (0, 1, 3, 2))
+    return jnp.transpose(xt[:, :, :c, :w], (0, 1, 3, 2))

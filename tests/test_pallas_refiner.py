@@ -125,6 +125,7 @@ def test_fold_refiner_tree_matches_module_eval():
         (40, 14, 19, 2),    # pads to 128 lanes
         (144, 11, 9, 3),    # multi-vreg sublanes
         (16, 23, 31, 2),
+        (29, 10, 13, 2),    # non-8-aligned C (zero-pad to sublane tiling)
     ],
 )
 def test_hcw_refiner_stack_matches_reference(c, h, w, nb):
