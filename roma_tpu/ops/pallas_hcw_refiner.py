@@ -32,8 +32,13 @@ wide-C bucket, after the lane-major one (ops/pallas_refiner.py):
 
   * s2-up 432^2 C=144: XLA scanned 112.4 ms, this kernel 198.1 ms (0.57x)
   * s2-c  280^2 C=144: XLA scanned  46.2 ms, this kernel 109.1 ms (0.42x)
-  * C >= 569 initially crashed the TPU compiler (full-C f32 row
-    temporaries); fixed by the 128-channel-chunked row body below.
+  * C >= 569 does not compile: even with the 128-channel-chunked row body
+    and the 8-aligned channel pad, Mosaic aborts the remote compile-helper
+    subprocess at C in {569, 1137, 1377} (HTTP 500, exit code 1 — compiler
+    crash, not a lowering diagnostic we can act on). XLA scanned stacks at
+    those shapes for the record: s8-up 108^2 C=1137 47.1 ms, s4-up 216^2
+    C=569 72.3 ms, s16 35^2 C=1377 9.0 ms, s8-c 70^2 C=1137 20.7 ms,
+    s4-c 140^2 C=569 30.7 ms.
 
 Roofline context, which is the real finding: the stacks' cost is the 1x1
 convs — C^2 MACs/pixel x 9 blocks ~= 14.7 TFLOP bf16 per two-pass batch
