@@ -42,7 +42,11 @@ def run(args):
     n_steps = 8_000_000 // batch_size
     k_samples = 25_000
 
-    net = RoMaNet(dtype=jnp.bfloat16 if args.bf16 else jnp.float32, train_mode=True)
+    net = RoMaNet(
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        train_mode=True,
+        remat=args.remat,
+    )
     dummy = jnp.zeros((1, 56, 56, 3), jnp.float32)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), dummy, dummy)
 
@@ -114,5 +118,6 @@ if __name__ == "__main__":
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--distributed", action="store_true")
     run(p.parse_args())

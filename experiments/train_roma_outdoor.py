@@ -62,7 +62,9 @@ def run(args):
 
     # model
     net = RoMaNet(
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, train_mode=True
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        train_mode=True,
+        remat=args.remat,
     )
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 56, 56, 3), jnp.float32)
@@ -153,6 +155,11 @@ if __name__ == "__main__":
     parser.add_argument("--only_test", action="store_true")
     parser.add_argument("--skip_eval", action="store_true")
     parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument(
+        "--remat", action=argparse.BooleanOptionalAction, default=True,
+        help="jax.checkpoint VGG+refiners; without it 560^2 bs2 already "
+        "overflows a 16 GB v5e (measured 48 G at bs8)",
+    )
     parser.add_argument("--distributed", action="store_true")
     # reference train_k_steps optional extras (train/train.py:42,59-63)
     parser.add_argument("--ema_decay", type=float, default=0.0,

@@ -73,11 +73,18 @@ class CNNandDinov2(nn.Module):
     dtype: Dtype = jnp.float32
     coarse_dtype: Dtype = jnp.float32  # reference runs DINOv2 in fp16 (amp_dtype)
     train: bool = False
+    remat: bool = False  # jax.checkpoint the VGG pyramid (training memory)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, upsample: bool = False):
         cfg = self.config
-        pyramid = VGG19(
+        # nn.remat on the class keeps the "vgg" name scope (converter
+        # mapping unchanged); under grad the pyramid activations are
+        # recomputed in backward instead of living until the end of the
+        # step. DINOv2 needs no checkpointing: it is stop_gradient-frozen,
+        # so AD never stores its intermediates.
+        vgg_cls = nn.remat(VGG19) if self.remat else VGG19
+        pyramid = vgg_cls(
             channels=cfg.vgg_channels, dtype=self.dtype, train=self.train, name="vgg"
         )(x)
         if not upsample:

@@ -181,12 +181,20 @@ class ScannedRefinerBlocks(nn.Module):
     length: int
     block_kwargs: dict
     unroll: bool = True
+    remat: bool = False  # checkpoint each scan iteration (training memory)
 
     @nn.compact
     def __call__(self, x):
         def body(mdl, carry, _):
             return RefinerBlock(**self.block_kwargs, name="block")(carry), None
 
+        if self.remat:
+            # per-iteration checkpoint: without it the scan stashes every
+            # block's conv/BN residuals (~3 tensors x (B,H,W,C) x 8 blocks —
+            # the dominant buffer at the fine scales under training), with
+            # it only the 8 carry inputs survive to backward. prevent_cse
+            # is pointless inside a scan body (no cross-iteration CSE).
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(
             body,
             variable_axes={"params": 0, "batch_stats": 0},
@@ -211,6 +219,7 @@ class ConvRefiner(nn.Module):
     dtype: Dtype = jnp.float32
     train: bool = False
     bn_momentum: float = 0.01
+    remat: bool = False  # per-block scan checkpointing (training memory)
 
     @nn.compact
     def __call__(self, x, y, flow, scale_factor: float = 1.0):
@@ -264,7 +273,7 @@ class ConvRefiner(nn.Module):
             d = RefinerBlock(**blk, name="block1")(d)
             d = ScannedRefinerBlocks(
                 length=s.hidden_blocks, block_kwargs=blk, unroll=not self.train,
-                name="hidden",
+                remat=self.remat and self.train, name="hidden",
             )(d)
         out = torch_conv(3, kernel=1, padding=0, name="out_conv")(d.astype(jnp.float32))
         return out[..., :2], out[..., 2:]
@@ -289,6 +298,7 @@ class Decoder(nn.Module):
     train_mode: bool = False
     detach: bool = True
     refine_init: int = 4
+    remat: bool = False  # jax.checkpoint each refiner (training memory)
 
     def setup(self):
         cfg = self.config
@@ -308,9 +318,20 @@ class Decoder(nn.Module):
             )
             for s, (_, out) in cfg.proj_specs().items()
         }
+        # nn.remat on the CLASS keeps the instance name scope, so param
+        # paths (and the .pth converter mapping) are identical with or
+        # without rematerialization. The refiner stacks hold the bulk of
+        # the training activations (9 conv blocks at up to full res);
+        # recomputing them in backward is what lets a 16 GB v5e chip fit
+        # the reference's A100-80GB per-device batch (see train bench).
+        refiner_cls = nn.remat(ConvRefiner) if self.remat else ConvRefiner
         self._refiners = {
-            s: ConvRefiner(
-                spec, dtype=self.dtype, train=self.train_mode, name=f"refiner{s}"
+            s: refiner_cls(
+                spec,
+                dtype=self.dtype,
+                train=self.train_mode,
+                remat=self.remat,
+                name=f"refiner{s}",
             )
             for s, spec in cfg.refiner_specs().items()
         }
@@ -393,6 +414,7 @@ class RoMaNet(nn.Module):
     dtype: Dtype = jnp.float32
     coarse_dtype: Dtype = jnp.float32
     train_mode: bool = False
+    remat: bool = False  # checkpoint VGG + refiners (training memory)
 
     def setup(self):
         self.encoder = CNNandDinov2(
@@ -400,10 +422,15 @@ class RoMaNet(nn.Module):
             dtype=self.dtype,
             coarse_dtype=self.coarse_dtype,
             train=self.train_mode,
+            remat=self.remat,
             name="encoder",
         )
         self.decoder = Decoder(
-            config=self.config, dtype=self.dtype, train_mode=self.train_mode, name="decoder"
+            config=self.config,
+            dtype=self.dtype,
+            train_mode=self.train_mode,
+            remat=self.remat,
+            name="decoder",
         )
 
     def __call__(

@@ -334,8 +334,14 @@ def local_correlation(
         budget = 512 * 1024 * 1024
         batch_chunk = max(1, min(b, budget // max(per_image, 1)))
 
+    # jax.checkpoint per map chunk: without it, AD saves each chunk's
+    # gathered-patch residuals across the whole scan (n*p^2*c per image —
+    # ~16 GB over the coarse scales at bs16 560^2, the dominant training
+    # buffer), defeating the transient budget. With it, backward recomputes
+    # one chunk at a time, so the 512 MB budget bounds bwd too. Free at
+    # inference (no residuals without grads).
     out = jax.lax.map(
-        lambda args: core(*args, radius),
+        jax.checkpoint(lambda args: core(*args, radius)),
         (f0, f1, warp),
         batch_size=min(batch_chunk, b),
     )

@@ -66,27 +66,51 @@ def make_optimizer(
     top-level "encoder" key (the RoMaNet layout). ``warmup_steps`` enables the
     reference's warmup-dampened LR stepping (train/train.py:61-63) as a linear
     ramp inside the schedule.
+
+    Frozen params (default: anything under a "dinov2" key) get
+    ``optax.set_to_zero``: the reference hides DINOv2 from the optimizer
+    entirely (encoders.py:50 — the ``[dinov2_vitl14]`` list hack), so it
+    must see no AdamW state (~2.4 GB for ViT-L m+v) and, critically, no
+    weight decay — AdamW with zero grads still emits ``-lr*wd*p`` updates,
+    which would silently shrink the frozen backbone over a training run.
+
+    The norm clip is one GLOBAL clip across all trainable grads before the
+    per-group transforms (reference train/train.py:30 clips
+    ``model.parameters()`` as a whole); per-group clipping would rescale
+    encoder and decoder independently, which at the recipe's tight 0.01
+    norm (almost always active) changes the effective update direction.
     """
     if is_encoder is None:
         def is_encoder(path, _leaf):
             return any(getattr(k, "key", None) == "encoder" for k in path)
 
+    def is_frozen(path, _leaf):
+        return any(getattr(k, "key", None) == "dinov2" for k in path)
+
     def adamw(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(
-                multistep_lr(lr, milestones, warmup_steps=warmup_steps),
-                weight_decay=weight_decay,
-            ),
+        return optax.adamw(
+            multistep_lr(lr, milestones, warmup_steps=warmup_steps),
+            weight_decay=weight_decay,
         )
 
     def label_fn(params):
         import jax
 
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: "encoder" if is_encoder(path, leaf) else "decoder", params
-        )
+        def label(path, leaf):
+            if is_frozen(path, leaf):
+                return "frozen"
+            return "encoder" if is_encoder(path, leaf) else "decoder"
 
-    return optax.multi_transform(
-        {"encoder": adamw(encoder_lr), "decoder": adamw(decoder_lr)}, label_fn
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {
+                "encoder": adamw(encoder_lr),
+                "decoder": adamw(decoder_lr),
+                "frozen": optax.set_to_zero(),
+            },
+            label_fn,
+        ),
     )

@@ -55,7 +55,9 @@ def main():
 
     print(f"backend={jax.default_backend()}", flush=True)
     h = w = int(os.environ.get("ROMA_BENCH_RES", "560"))  # CPU dry-run: 56
-    net = RoMaNet(dtype=jnp.bfloat16, train_mode=True)
+    remat = os.environ.get("ROMA_BENCH_REMAT", "1") == "1"
+    net = RoMaNet(dtype=jnp.bfloat16, train_mode=True, remat=remat)
+    print(f"  remat={remat}", flush=True)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 56, 56, 3), jnp.float32)
     variables = jax.jit(net.init)(rng, dummy, dummy)

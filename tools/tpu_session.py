@@ -35,48 +35,16 @@ STEPS = []
 
 
 # ------------------------------------------------------------------ 1
-@step("cmajor-s1-timing")
-def cmajor_s1():
-    """In-model Pallas cmajor kernel vs the XLA folded path at the scale-1
-    refiner stack shapes (ts9: XLA scanned flax stack = 148 / 340 ms)."""
-    from profile_window import timeit
-
-    from roma_tpu.ops import pallas_refiner as pr
-
-    rs = np.random.RandomState(0)
-    for tag, h, c in (("s1-c", 560, 24), ("s1-up", 864, 24)):
-        x = jnp.asarray(rs.randn(16, h, h, c), jnp.bfloat16)
-        blocks = [
-            {k: jnp.asarray(v) for k, v in pr.fold_block(
-                np.asarray(rs.randn(5, 5, 1, c) * 0.2, np.float32),
-                np.asarray(rs.randn(c) * 0.1, np.float32),
-                np.asarray(1 + 0.1 * rs.randn(c), np.float32),
-                np.asarray(0.1 * rs.randn(c), np.float32),
-                np.asarray(0.1 * rs.randn(c), np.float32),
-                np.asarray(1 + 0.1 * rs.randn(c), np.float32),
-                np.asarray(rs.randn(c, c) * 0.1, np.float32),
-                np.asarray(rs.randn(c) * 0.1, np.float32),
-            ).items()}
-            for _ in range(9)
-        ]
-        tk = timeit(lambda x: pr.fused_refiner_stack(x, blocks), x, iters=20)
-        tx = timeit(lambda x: pr.refiner_stack_reference(x, blocks), x, iters=10)
-        print(
-            f"  {tag} {h}^2 C={c} bs16: cmajor {tk*1e3:7.2f} ms | "
-            f"XLA folded {tx*1e3:7.2f} ms",
-            flush=True,
-        )
-
-
-# ------------------------------------------------------------------ 2
-@step("train-step-560")
+@step("train-step-560-remat")
 def train_step():
+    # without remat bs2 already OOMs (bs8 wants 48 G vs 15.75 G HBM);
+    # ROMA_BENCH_REMAT defaults to 1 in the tool now.
     import bench_train_step
 
     bench_train_step.main()
 
 
-# ------------------------------------------------------------------ 3
+# ------------------------------------------------------------------ 2
 @step("tiny-and-coarse")
 def tiny_coarse():
     import bench_tiny_coarse
