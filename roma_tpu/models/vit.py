@@ -142,6 +142,7 @@ class ScannedBlocks(nn.Module):
     layer_scale: bool = True
     qkv_bias: bool = True
     remat: bool = True
+    unroll: int = 1  # scan unroll factor (layout experiment knob)
     dtype: Dtype = jnp.float32
     n_valid: int | None = None
 
@@ -166,6 +167,7 @@ class ScannedBlocks(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
+            unroll=self.unroll,
         )
         tokens, _ = scan(self, tokens, None)
         return tokens
