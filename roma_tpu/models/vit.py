@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import interpolate, sdpa
+from ..ops import attention_packed, interpolate
 
 Dtype = Any
 
@@ -50,14 +50,15 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
-        h = self.num_heads
-        d = c // h
         qkv = nn.Dense(
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)
-        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
-        out = sdpa(qkv[0], qkv[1], qkv[2], n_valid=self.n_valid)  # (B, H, N, D)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        # packed path: the kernel reads the Dense output layout directly
+        # and writes token-major, so the (3, B, H, N, D) transpose and the
+        # head-merge transpose (two HBM passes of the 3C-wide tensor per
+        # block) never exist. attention_packed falls back to the einsum
+        # sdpa off-TPU / at unsupported head dims.
+        out = attention_packed(qkv, self.num_heads, n_valid=self.n_valid)
         return nn.Dense(
             c, use_bias=self.proj_bias, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
         )(out)

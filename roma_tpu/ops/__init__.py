@@ -1,4 +1,4 @@
-from .attention import sdpa
+from .attention import attention_packed, sdpa
 from .cls_to_flow import cls_to_flow_refine
 from .coords import (
     batched_grid,
@@ -16,6 +16,7 @@ from .sampling import balanced_sample, multinomial_no_replacement
 
 __all__ = [
     "sdpa",
+    "attention_packed",
     "cls_to_flow_refine",
     "batched_grid",
     "normalized_grid",

@@ -358,9 +358,13 @@ def test_pallas_attention_n_valid_masks_padded_keys():
     b, h, n, d = 1, 2, 256, 64
     nv = 187
     q, k, v = _rand(b, h, n, d), _rand(b, h, n, d), _rand(b, h, n, d)
-    # zero the padding like the model does (pad -> blocks see zeros)
-    for a in (q, k, v):
-        a[:, :, nv:] = 0.0
+    # padded rows carry ARBITRARY content: in the model the zero padding
+    # drifts non-zero after the first block (a padded row's attention
+    # output is a weighted average of valid V rows), so the kernel must
+    # mask padded keys regardless of what they hold. Scale them up to make
+    # any leak loud.
+    for a in (k, v):
+        a[:, :, nv:] *= 7.0
     ref = sdpa(
         jnp.asarray(q[:, :, :nv]), jnp.asarray(k[:, :, :nv]), jnp.asarray(v[:, :, :nv]),
         use_pallas=False,
@@ -382,3 +386,49 @@ def test_pallas_attention_n_valid_masks_padded_keys():
     np.testing.assert_allclose(np.asarray(gq[:, :, :nv]), np.asarray(rq), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gk[:, :, :nv]), np.asarray(rk), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gv[:, :, :nv]), np.asarray(rv), atol=1e-3)
+
+
+@pytest.mark.parametrize("heads,c", [(4, 256), (2, 256)])  # d=64, d=128
+def test_packed_attention_matches_einsum(heads, c):
+    """fused_attention_packed consumes the raw (B, N, 3C) qkv Dense output
+    and must match the per-head einsum attention, padded keys masked."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from roma_tpu.ops.pallas_attention import fused_attention_packed
+
+    b, n, nv = 2, 256, 201
+    d = c // heads
+    rs = np.random.RandomState(3)
+    qkv = rs.randn(b, n, 3 * c).astype(np.float32) * 0.3
+    qkv[:, nv:] *= 5.0  # arbitrary padded-token content must be inert
+
+    def unpack(x):
+        q, k, v = (
+            x[:, :, i * c:(i + 1) * c].reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+            for i in range(3)
+        )
+        return q, k, v
+
+    q, k, v = unpack(jnp.asarray(qkv))
+    ref = sdpa(q[:, :, :nv], k[:, :, :nv], v[:, :, :nv], use_pallas=False)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, nv, c)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_attention_packed(jnp.asarray(qkv), heads, n_valid=nv)
+    np.testing.assert_allclose(np.asarray(out[:, :nv]), np.asarray(ref), atol=2e-5)
+
+    # grads: packed backward (unpack -> per-head recompute kernel -> repack)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(
+            lambda x: (fused_attention_packed(x, heads, n_valid=nv)[:, :nv] ** 2).sum()
+        )(jnp.asarray(qkv))
+
+    def ref_loss(x):
+        q, k, v = unpack(x)
+        o = sdpa(q[:, :, :nv], k[:, :, :nv], v[:, :, :nv], use_pallas=False)
+        return (o.transpose(0, 2, 1, 3).reshape(b, nv, c) ** 2).sum()
+
+    gr = jax.grad(ref_loss)(jnp.asarray(qkv))
+    np.testing.assert_allclose(
+        np.asarray(g[:, :nv]), np.asarray(gr[:, :nv]), atol=2e-3
+    )
