@@ -302,7 +302,14 @@ class Decoder(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.embedding_decoder = TransformerDecoder(
+        # GP stashes several (B, M, M) f32 intermediates (kernel matrices,
+        # Cholesky factor, triangular-solve residuals) — ~0.5 GB at the
+        # 560^2-train shape; recomputing them in backward is ~12 GFLOP.
+        # TransformerDecoder's blocks already remat per-iteration
+        # (ScannedBlocks default), so only its concat/head get wrapped.
+        gp_cls = nn.remat(GP) if self.remat else GP
+        td_cls = nn.remat(TransformerDecoder) if self.remat else TransformerDecoder
+        self.embedding_decoder = td_cls(
             depth=cfg.decoder_depth,
             dim=cfg.decoder_dim,
             num_heads=cfg.decoder_heads,
@@ -310,7 +317,7 @@ class Decoder(nn.Module):
             dtype=self.dtype,
             name="embedding_decoder",
         )
-        self.gp16 = GP(gp_dim=cfg.gp_dim, name="gp16")
+        self.gp16 = gp_cls(gp_dim=cfg.gp_dim, name="gp16")
         self._projs = {
             s: (
                 torch_conv(out, kernel=1, padding=0, dtype=self.dtype, name=f"proj{s}_conv"),
