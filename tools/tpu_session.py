@@ -35,21 +35,30 @@ STEPS = []
 
 
 # ------------------------------------------------------------------ 1
-@step("train-step-560-remat")
-def train_step():
-    # without remat bs2 already OOMs (bs8 wants 48 G vs 15.75 G HBM);
-    # ROMA_BENCH_REMAT defaults to 1 in the tool now.
-    import bench_train_step
+@step("profile-dinov2-packed")
+def pdv():
+    # packed-attention A/B: single Block / 24-block stack now route the
+    # packed kernel; the sdpa line still times the per-head kernel.
+    import profile_dinov2
 
-    bench_train_step.main()
+    profile_dinov2.main()
 
 
 # ------------------------------------------------------------------ 2
-@step("tiny-and-coarse")
-def tiny_coarse():
-    import bench_tiny_coarse
+@step("bench-e2e-560-864")
+def bench_e2e():
+    sys.path.insert(0, ROOT)
+    import bench
 
-    bench_tiny_coarse.main()
+    bench.main()
+
+
+# ------------------------------------------------------------------ 3
+@step("bench-1344")
+def bench_golden():
+    import bench_1344
+
+    bench_1344.main()
 
 
 def main():
