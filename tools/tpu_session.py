@@ -61,6 +61,18 @@ def bench_golden():
     bench_1344.main()
 
 
+# ------------------------------------------------------------------ 4
+@step("train-step-bs8-retry")
+def train_bs8():
+    # GP + TransformerDecoder now remat under the same flag — retry bs8
+    # (runtime alloc was just over 15.75 G before; ~0.5 G of GP f32
+    # intermediates plus TD concat/head residuals were the margin).
+    os.environ["ROMA_BENCH_BS"] = "8,6"
+    import bench_train_step
+
+    bench_train_step.main()
+
+
 def main():
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}", flush=True)
     for name, fn in STEPS:
