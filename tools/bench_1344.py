@@ -28,8 +28,16 @@ COARSE, UP = 672, 1344
 def main():
     from roma_tpu.models.zoo import roma_outdoor
 
+    from bench import smooth_coarse_warp
+
     print(f"backend={jax.default_backend()}")
+    os.environ.setdefault("ROMA_TPU_OFFLINE", "1")
     model = roma_outdoor(coarse_res=COARSE, upsample_res=UP, amp=True)
+    if not os.environ.get("ROMA_WEIGHTS"):
+        # random weights emit noise warps that route the windowed corr to
+        # its fallback branch; bias the classifier to one anchor so the
+        # production branch is timed (same rationale as bench.py).
+        smooth_coarse_warp(model)
     rs = np.random.RandomState(0)
     im_A = jnp.asarray(rs.randn(BATCH, COARSE, COARSE, 3), model.dtype)
     im_B = jnp.asarray(rs.randn(BATCH, COARSE, COARSE, 3), model.dtype)
