@@ -49,6 +49,13 @@ def run(args):
     )
     dummy = jnp.zeros((1, 56, 56, 3), jnp.float32)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), dummy, dummy)
+    if args.pretrained_backbone:
+        # reference trains with pretrained_backbone=True (roma_indoor.py:246)
+        from roma_tpu.models.zoo import pretrained_backbone
+
+        variables = pretrained_backbone(
+            variables, dinov2_weights=args.dinov2_weights, vgg_weights=args.vgg_weights
+        )
 
     mega = MegadepthBuilder(data_root=args.mega_root)
     mega_ds = ConcatDataset(
@@ -120,4 +127,10 @@ if __name__ == "__main__":
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--pretrained_backbone", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="load torchvision VGG19-BN + DINOv2 vitl14 encoder "
+                   "weights (reference pretrained_backbone=True)")
+    p.add_argument("--dinov2_weights", default=None)
+    p.add_argument("--vgg_weights", default=None)
     run(p.parse_args())

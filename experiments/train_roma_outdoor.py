@@ -69,6 +69,14 @@ def run(args):
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 56, 56, 3), jnp.float32)
     variables = jax.jit(net.init)(rng, dummy, dummy)
+    if args.pretrained_backbone:
+        # reference trains with pretrained_backbone=True (torchvision VGG19-BN
+        # + frozen pretrained DINOv2, train_roma_outdoor.py:187)
+        from roma_tpu.models.zoo import pretrained_backbone
+
+        variables = pretrained_backbone(
+            variables, dinov2_weights=args.dinov2_weights, vgg_weights=args.vgg_weights
+        )
 
     # datasets: two overlap bands (reference :199-212)
     mega = MegadepthBuilder(data_root=args.data_root, loftr_ignore=True, imc21_ignore=True)
@@ -161,6 +169,18 @@ if __name__ == "__main__":
         "overflows a 16 GB v5e (measured 48 G at bs8)",
     )
     parser.add_argument("--distributed", action="store_true")
+    # reference always trains from a pretrained backbone
+    # (train_roma_outdoor.py:187 pretrained_backbone=True)
+    parser.add_argument(
+        "--pretrained_backbone", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="load torchvision VGG19-BN + DINOv2 vitl14 encoder weights "
+        "(auto-download or --dinov2_weights/--vgg_weights paths)",
+    )
+    parser.add_argument("--dinov2_weights", default=None,
+                        help="local dinov2_vitl14_pretrain.pth")
+    parser.add_argument("--vgg_weights", default=None,
+                        help="local torchvision vgg19_bn .pth")
     # reference train_k_steps optional extras (train/train.py:42,59-63)
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA of params; 0 disables (ref ema_model)")

@@ -41,14 +41,27 @@ def run(args):
                       dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), dummy, dummy)
-    if args.xfeat_weights:
-        from roma_tpu.models.zoo import _load_torch_state_dict, convert
+    # pretrained XFeat backbone (the reference hub-loads it,
+    # model_zoo/__init__.py:23-27); auto-download when no path given
+    from roma_tpu.models.zoo import (
+        WEIGHT_URLS,
+        _fetch_state_dict,
+        _load_torch_state_dict,
+        convert,
+    )
 
-        xf_params, xf_stats = convert.convert_xfeat(
-            _load_torch_state_dict(args.xfeat_weights)
-        )
+    xfeat_sd = (
+        _load_torch_state_dict(args.xfeat_weights)
+        if args.xfeat_weights
+        else _fetch_state_dict(WEIGHT_URLS["xfeat"])
+    )
+    if xfeat_sd is not None:
+        xf_params, xf_stats = convert.convert_xfeat(xfeat_sd)
         variables["params"]["xfeat"] = jax.tree.map(jnp.asarray, xf_params)
         variables["batch_stats"]["xfeat"] = jax.tree.map(jnp.asarray, xf_stats)
+    else:
+        print("train_tiny: XFeat weights unavailable; frozen backbone stays "
+              "randomly initialized (will not reproduce the reference recipe)")
 
     mega = MegadepthBuilder(data_root=args.data_root)
     common = dict(ht=h, wt=w, normalize=False, shake_t=32,

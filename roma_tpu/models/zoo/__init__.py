@@ -31,6 +31,9 @@ WEIGHT_URLS = {
     "dinov2": "https://dl.fbaipublicfiles.com/dinov2/dinov2_vitl14/dinov2_vitl14_pretrain.pth",
     # torch.hub.load('verlab/accelerated_features', 'XFeat') resolves to:
     "xfeat": "https://github.com/verlab/accelerated_features/raw/main/weights/xfeat.pt",
+    # torchvision vgg19_bn(pretrained=True) (reference encoders.py:9 trains
+    # from the torchvision-pretrained VGG):
+    "vgg19_bn": "https://download.pytorch.org/models/vgg19_bn-c79401a0.pth",
 }
 
 
@@ -65,6 +68,16 @@ def tiny_roma_v1_outdoor(
         weights = _fetch_state_dict(WEIGHT_URLS["tiny_roma_v1"]["outdoor"])
     if xfeat_weights is None:
         xfeat_weights = _fetch_state_dict(WEIGHT_URLS["xfeat"])
+    if (weights is None) != (xfeat_weights is None):
+        # Exactly one of the pair resolved (e.g. one cached, companion
+        # fetch offline): loading half and random-initing the rest would
+        # silently produce garbage matches — fail loudly instead.
+        missing = "xfeat_weights" if xfeat_weights is None else "weights"
+        raise RuntimeError(
+            f"tiny_roma_v1_outdoor: {missing} unavailable while the "
+            "companion checkpoint is present; pass both (weights=..., "
+            "xfeat_weights=...) or neither (random init)."
+        )
     if weights is not None and xfeat_weights is not None:
         tiny_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
         xfeat_sd = (
@@ -109,6 +122,15 @@ def _roma_model(
             weights = _fetch_state_dict(WEIGHT_URLS["romatch"][variant])
         if weights is not None and dinov2_weights is None:
             dinov2_weights = _fetch_state_dict(WEIGHT_URLS["dinov2"])
+    if (weights is None) != (dinov2_weights is None):
+        # One checkpoint of the pair resolved (cached) but the companion
+        # didn't — a half-pretrained matcher is garbage; fail loudly.
+        missing = "dinov2_weights" if dinov2_weights is None else "weights"
+        raise RuntimeError(
+            f"roma_{variant or 'model'}: {missing} unavailable while the "
+            "companion checkpoint is present; pass both (weights=..., "
+            "dinov2_weights=...) or neither (random init)."
+        )
     if weights is not None and dinov2_weights is not None:
         roma_sd = weights if isinstance(weights, dict) else _load_torch_state_dict(weights)
         dino_sd = (
@@ -134,6 +156,84 @@ def _roma_model(
         dtype=compute_dtype,
         config=config,
     )
+
+
+def pretrained_backbone(
+    variables: dict,
+    dinov2_weights: str | dict | None = None,
+    vgg_weights: str | dict | None = None,
+) -> dict:
+    """Graft pretrained encoder weights into freshly-initialized RoMaNet
+    variables, for from-scratch training runs.
+
+    The reference always trains with ``pretrained_backbone=True``
+    (experiments/train_roma_outdoor.py:187): torchvision-pretrained
+    VGG19-BN (encoders.py:9) + pretrained frozen DINOv2 vitl14
+    (encoders.py:33). Training from a *random frozen* DINOv2 cannot work
+    (frozen noise features), so train entry points call this by default.
+
+    Args:
+      variables: ``{"params", "batch_stats"}`` from ``RoMaNet.init`` (plain
+        nested dicts; mutated copies are returned, inputs untouched).
+      dinov2_weights: path/state-dict of dinov2_vitl14_pretrain.pth;
+        auto-downloaded when None.
+      vgg_weights: path/state-dict of torchvision vgg19_bn weights
+        (prefix ``features``); auto-downloaded when None.
+
+    Offline with no local paths, prints a warning and returns the variables
+    unchanged (a deliberate degrade: CI / smoke tests train from random).
+    """
+    import copy
+    import sys
+
+    import jax
+    import numpy as np
+
+    def _resolve(w, url):
+        if w is None:
+            return _fetch_state_dict(url)
+        return w if isinstance(w, dict) else _load_torch_state_dict(w)
+
+    dino_sd = _resolve(dinov2_weights, WEIGHT_URLS["dinov2"])
+    vgg_sd = _resolve(vgg_weights, WEIGHT_URLS["vgg19_bn"])
+    if dino_sd is None or vgg_sd is None:
+        print(
+            "roma_tpu: pretrained backbone unavailable "
+            f"(dinov2={'ok' if dino_sd else 'missing'}, "
+            f"vgg={'ok' if vgg_sd else 'missing'}); the encoder stays "
+            "randomly initialized — a frozen-random DINOv2 will not "
+            "reproduce the reference training recipe.",
+            file=sys.stderr,
+        )
+        return variables
+
+    def _graft(tree, path, new):
+        """Replace ``tree[path] = new`` with structure+shape verification
+        against the initialized subtree (tree_map raises on structure
+        mismatch)."""
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        old = node[path[-1]]
+
+        def check(a, b):
+            if np.shape(a) != np.shape(b):
+                raise ValueError(
+                    f"pretrained_backbone: shape mismatch under "
+                    f"{'/'.join(path)}: {np.shape(a)} vs {np.shape(b)}"
+                )
+
+        jax.tree_util.tree_map(check, old, new)
+        node[path[-1]] = new
+
+    variables = copy.copy(variables)
+    variables["params"] = copy.deepcopy(variables["params"])
+    variables["batch_stats"] = copy.deepcopy(variables["batch_stats"])
+    vgg_p, vgg_s = convert.convert_vgg19(vgg_sd, prefix="features")
+    _graft(variables["params"], ("encoder", "vgg"), vgg_p)
+    _graft(variables["batch_stats"], ("encoder", "vgg"), vgg_s)
+    _graft(variables["params"], ("encoder", "dinov2"), convert.convert_dinov2(dino_sd))
+    return variables
 
 
 def roma_outdoor(

@@ -50,11 +50,11 @@ def fetch(url: str, *, progress: bool = True, timeout: float = 10.0) -> str | No
         return None
     os.makedirs(cache_dir(), exist_ok=True)
     tmp = path + ".part"
+    done = 0
     try:
         req = urllib.request.Request(url, headers={"User-Agent": "roma-tpu"})
         with urllib.request.urlopen(req, timeout=timeout) as r, open(tmp, "wb") as f:
             total = int(r.headers.get("Content-Length") or 0)
-            done = 0
             while True:
                 chunk = r.read(1 << 20)
                 if not chunk:
@@ -77,9 +77,11 @@ def fetch(url: str, *, progress: bool = True, timeout: float = 10.0) -> str | No
     except (urllib.error.URLError, TimeoutError, ConnectionError, OSError) as e:
         if os.path.exists(tmp):
             os.remove(tmp)
-        # connection-level failure -> offline; anything after bytes flowed
-        # is a real error the caller should see
-        if _egress_ok:
+        # Mid-transfer failure (bytes flowed THIS attempt) is a real error
+        # the caller must see — silently falling back to random init after
+        # a 90%-complete download would hand the user a garbage model.
+        # Only a connection that never produced data means "offline".
+        if done > 0 or _egress_ok:
             raise
         _egress_ok = False
         print(

@@ -89,9 +89,9 @@ def attention_packed(qkv: jnp.ndarray, num_heads: int, n_valid: int | None = Non
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    if _on_tpu() and d in (64, 128) and c % 128 == 0:
-        from .pallas_attention import fused_attention_packed
+    from .pallas_attention import _packed_supported, fused_attention_packed
 
+    if _on_tpu() and _packed_supported(num_heads, c):
         return fused_attention_packed(qkv, num_heads, n_valid=n_valid)
     q, k, v = (
         qkv[:, :, i * c:(i + 1) * c].reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)

@@ -42,7 +42,10 @@ def _softmax_masked(logits, kpad: int, n_valid: int):
     if kpad != n_valid:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < n_valid, logits, -jnp.inf)
-    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
+    # True row max (not clamped at 0): with a 0-clamp, a row whose valid
+    # logits are all < ~-87 underflows every exp and yields denom = 0 ->
+    # NaN, where jax.nn.softmax stays finite. n_valid >= 1 keeps m finite.
+    m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     return e, denom
@@ -325,9 +328,13 @@ def _fused_attention_packed_fwd_impl(qkv, num_heads, n_valid):
     return out[:, :n]
 
 
-def _packed_supported(num_heads: int, c: int, n: int) -> bool:
+def _packed_supported(num_heads: int, c: int) -> bool:
+    """Layout precondition for the packed kernel (the routing gate used by
+    ops/attention.py:attention_packed). The last conjunct rejects the
+    truncating case c // num_heads in {64, 128} with c % num_heads != 0,
+    where the segment slicing would be wrong."""
     d = c // num_heads
-    return d in (64, 128) and c % 128 == 0 and (128 // d) * (c // 128) == num_heads
+    return d in (64, 128) and c % 128 == 0 and d * num_heads == c
 
 
 def fused_attention_packed(qkv, num_heads: int, n_valid: int | None = None):

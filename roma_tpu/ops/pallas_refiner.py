@@ -445,7 +445,11 @@ def fused_refiner_stack(
     # (measured OOMs on v5e): bf16 s=40 fits at wp=896 but s=25 does NOT
     # fit at wp=1408; f32 s=20 does NOT fit at wp=896.
     base = 40 if x.dtype.itemsize <= 2 else 10
-    s_rows = max(8, min(base, int(base * (896 / wp) ** 2)))
+    # No 8-row floor: the quadratic budget model must govern — at f32
+    # wp=1408 it allows only ~4 rows and forcing 8 would re-risk the OOM
+    # this logic exists to prevent (tiny strips just pay more halo
+    # redundancy, which is slow-but-correct).
+    s_rows = max(2, min(base, int(base * (896 / wp) ** 2)))
     for i in range(0, len(blocks), g):
         x = _fused_cmajor(x, blocks[i : i + g], interpret=interpret, s_rows=s_rows)
     return x

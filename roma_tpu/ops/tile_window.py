@@ -57,7 +57,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import grid_sample
-from .window_warp import _compact_miss
+from .local_corr import _combine_corners
+from .window_warp import _compact_miss, _query_subblock
 
 
 @dataclass(frozen=True)
@@ -272,7 +273,6 @@ def _plan(flow, h, w, spec, radius: int = 0, oy_quant: int = 1):
         b=b, hq=hq, wq=wq, nt=nt, nh=nh, nw=nw, hp=hp, wpx=wpx, njq=njq,
         y0t=y0t, x0t=x0t, fyt=fyt, fxt=fxt, yl=yl, xl=xl,
         oy=oy, jx=jx, needfix=needfix, counts=counts,
-        ix=ix, iy=iy,
     )
 
 
@@ -341,9 +341,7 @@ def windowed_warp(
     if cp != c:
         fval = jnp.pad(fval, ((0, 0), (0, 0), (0, cp - c)))
 
-    qs = t if t <= 512 else 512
-    while t % qs:
-        qs -= 1
+    qs = _query_subblock(t, 512)
 
     # tile-chunked execution: windows are (wh*ww)/(th*tw) x bigger than the
     # queries they serve (32x at the default spec) — materializing all of
@@ -426,7 +424,6 @@ def windowed_warp(
     n_over = jnp.sum(counts > kf)
 
     def lean_fallback(_):
-        y0a = p["y0t"].reshape(bnt, t)
         # recompute over all queries, chunked, from the untiled fields
         g = flow.reshape(b, hq * wq, 2).astype(jnp.float32)
         ix = (g[..., 0] + 1) * w / 2 - 0.5
@@ -641,24 +638,6 @@ def _exact_dpatch(f1_flat, img_rows, y0, x0, f0vec, radius, h, w, c):
     return dp * valid.astype(jnp.float32)
 
 
-def _combine_corners(dpatch, fy, fx):
-    """(..., P, P) corner dots -> (..., K) bilinear taps (K=(P-1)^2),
-    identical to ops/local_corr._combine_corners / the reference channel
-    order (local_correlation.py:93-108)."""
-    w00 = (1 - fy) * (1 - fx)
-    w01 = (1 - fy) * fx
-    w10 = fy * (1 - fx)
-    w11 = fy * fx
-    out = (
-        w00 * dpatch[..., :-1, :-1]
-        + w01 * dpatch[..., :-1, 1:]
-        + w10 * dpatch[..., 1:, :-1]
-        + w11 * dpatch[..., 1:, 1:]
-    )
-    s = out.shape
-    return out.reshape(*s[:-2], s[-2] * s[-1])
-
-
 def _tile_vector_fields(a, hq, wq, th, tw):
     """(B, Hq, Wq, C) -> (B*nt, T, C) tile-major (edge-padded)."""
     b, _, _, c = a.shape
@@ -692,14 +671,8 @@ def windowed_local_corr(
         # pixels): 48^2 windows overflow the miss budgets at >=140^2 maps
         # (measured: 140^2 wh48 trips the whole-batch fallback, wh64 never)
         spec = CorrSpec(**{**spec.__dict__, "wh": 64, "ns": 8})
-    th, tw, wh, xq, ns, pm, kf = (
-        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf
-    )
-    ww, t = spec.ww, spec.t
-    p_ = 2 * radius + 2
-    pp = p_ * p_
-    k_out = (2 * radius + 1) ** 2
-
+    wh, xq, pm, kf = spec.wh, spec.xq, spec.pm, spec.kf
+    ww = spec.ww
 
     from .local_corr import _local_corr_patch_single
 
@@ -714,10 +687,7 @@ def windowed_local_corr(
         return out.astype(f0.dtype)
 
     plan = _plan(flow, h, w, spec, radius=radius)
-    nt, nh, nw, hp, wpx, njq = (
-        plan["nt"], plan["nh"], plan["nw"], plan["hp"], plan["wpx"], plan["njq"]
-    )
-    bnt = b * nt
+    bnt = b * plan["nt"]
 
     counts = plan["counts"].reshape(bnt)
     nt_bad = min(max(spec.nt_bad, bnt // 24), bnt)

@@ -530,3 +530,64 @@ def test_gp_full_token_count():
         atol=5e-3,
         rtol=1e-3,
     )
+
+
+def test_pretrained_backbone_graft(spec_and_vars, monkeypatch):
+    """zoo.pretrained_backbone grafts converted VGG/DINOv2 encoder weights
+    into initialized variables (the reference trains with
+    pretrained_backbone=True, experiments/train_roma_outdoor.py:187)."""
+    import copy
+
+    from roma_tpu.models import zoo
+
+    spec, variables = spec_and_vars
+    roma_sd, dinov2_sd = spec_state_dicts(spec)
+    # torchvision vgg19_bn layout: prefix "features" instead of the
+    # roma-checkpoint "encoder.cnn.layers"
+    vgg_sd = {
+        k.replace("encoder.cnn.layers.", "features."): v
+        for k, v in roma_sd.items()
+        if k.startswith("encoder.cnn.layers.")
+    }
+
+    import jax
+
+    blank = copy.deepcopy(variables)
+    for tree, path in (
+        (blank["params"], ("encoder", "vgg")),
+        (blank["params"], ("encoder", "dinov2")),
+        (blank["batch_stats"], ("encoder", "vgg")),
+    ):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = jax.tree.map(lambda a: np.zeros_like(a), node[path[-1]])
+
+    out = zoo.pretrained_backbone(
+        blank, dinov2_weights=dinov2_sd, vgg_weights=vgg_sd
+    )
+    # grafted subtrees match the full converter's output exactly
+    for path in (
+        ("params", "encoder", "vgg"),
+        ("params", "encoder", "dinov2"),
+        ("batch_stats", "encoder", "vgg"),
+    ):
+        want = variables
+        got = out
+        for k in path:
+            want, got = want[k], got[k]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            want,
+            got,
+        )
+    # non-encoder params untouched
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["params"]["decoder"],
+        out["params"]["decoder"],
+    )
+    # offline degrade: both missing -> unchanged, warned
+    monkeypatch.setenv("ROMA_TPU_OFFLINE", "1")
+    same = zoo.pretrained_backbone(blank)
+    assert same is blank

@@ -31,8 +31,15 @@ def main():
     from bench import smooth_coarse_warp
 
     print(f"backend={jax.default_backend()}")
-    os.environ.setdefault("ROMA_TPU_OFFLINE", "1")
-    model = roma_outdoor(coarse_res=COARSE, upsample_res=UP, amp=True)
+    if not os.environ.get("ROMA_WEIGHTS"):
+        os.environ.setdefault("ROMA_TPU_OFFLINE", "1")
+    model = roma_outdoor(
+        weights=os.environ.get("ROMA_WEIGHTS"),
+        dinov2_weights=os.environ.get("DINOV2_WEIGHTS"),
+        coarse_res=COARSE,
+        upsample_res=UP,
+        amp=True,
+    )
     if not os.environ.get("ROMA_WEIGHTS"):
         # random weights emit noise warps that route the windowed corr to
         # its fallback branch; bias the classifier to one anchor so the

@@ -24,7 +24,15 @@ COARSE, UP = 560, 864
 def build_and_run(tag):
     from roma_tpu.models.zoo import roma_outdoor
 
+    from bench import smooth_coarse_warp
+
     model = roma_outdoor(coarse_res=COARSE, upsample_res=UP, amp=True)
+    # Random weights emit noise warps, which the windowed corr's per-tile
+    # budget cond routes to the XLA patch fallback in BOTH runs — the A/B
+    # would then vacuously compare XLA against itself. Bias the coarse
+    # classifier to one anchor so the ON run actually executes the Pallas
+    # kernels (same rationale as bench.py).
+    smooth_coarse_warp(model)
     rs = np.random.RandomState(0)
     im_A = jnp.asarray(rs.randn(BATCH, COARSE, COARSE, 3), model.dtype)
     im_B = jnp.asarray(rs.randn(BATCH, COARSE, COARSE, 3), model.dtype)
@@ -48,6 +56,7 @@ def build_and_run(tag):
 
 
 def main():
+    os.environ.setdefault("ROMA_TPU_OFFLINE", "1")  # hermetic random-weight A/B
     print(f"backend={jax.default_backend()}")
     w1, c1 = build_and_run("windowed kernels ON ")
     os.environ["ROMA_DISABLE_TILE_WINDOW"] = "1"
