@@ -44,6 +44,10 @@ class RoMaConfig:
     dino_depth: int = 24
     dino_heads: int = 16
     dino_patch: int = 14
+    # serving-only: run the frozen DINOv2's Dense layers via dynamic int8
+    # (ops/int8.py) — v5e int8 MXU is 2x bf16. Changes numerics; validate
+    # golden metrics before enabling in production.
+    vit_int8: bool = False
     # GP + transformer match proposer
     gp_dim: int = 512
     cls_res: int = 64          # coarse-match anchor grid (64x64 + 1 certainty)

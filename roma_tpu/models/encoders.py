@@ -94,6 +94,7 @@ class CNNandDinov2(nn.Module):
                 num_heads=cfg.dino_heads,
                 patch_size=cfg.dino_patch,
                 dtype=self.coarse_dtype,
+                int8=cfg.vit_int8,
                 name="dinov2",
             )
             feats16 = dinov2(x.astype(self.coarse_dtype))

@@ -22,20 +22,52 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import attention_packed, interpolate
+from ..ops.int8 import int8_matmul
 
 Dtype = Any
+
+
+class QDense(nn.Module):
+    """Drop-in for ``nn.Dense`` computing through dynamic int8
+    (ops/int8.py). The param tree (kernel/bias names, shapes, f32 dtype,
+    initializers) is identical to nn.Dense, so checkpoints and the torch
+    converter are oblivious to which one a model was built with."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
+
+
+def _dense(int8: bool, features: int, *, use_bias: bool = True, dtype, name: str):
+    cls = QDense if int8 else nn.Dense
+    kw = {} if int8 else {"param_dtype": jnp.float32}
+    return cls(features, use_bias=use_bias, dtype=dtype, name=name, **kw)
 
 
 class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = _dense(self.int8, self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        x = _dense(self.int8, self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -46,12 +78,13 @@ class Attention(nn.Module):
     proj_bias: bool = True
     dtype: Dtype = jnp.float32
     n_valid: int | None = None  # real tokens when the sequence is lane-padded
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
-        qkv = nn.Dense(
-            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
+        qkv = _dense(
+            self.int8, 3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
         # packed path: the kernel reads the Dense output layout directly
         # and writes token-major, so the (3, B, H, N, D) transpose and the
@@ -59,8 +92,8 @@ class Attention(nn.Module):
         # block) never exist. attention_packed falls back to the einsum
         # sdpa off-TPU / at unsupported head dims.
         out = attention_packed(qkv, self.num_heads, n_valid=self.n_valid)
-        return nn.Dense(
-            c, use_bias=self.proj_bias, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        return _dense(
+            self.int8, c, use_bias=self.proj_bias, dtype=self.dtype, name="proj"
         )(out)
 
 
@@ -109,6 +142,7 @@ class Block(nn.Module):
     deterministic: bool = True
     dtype: Dtype = jnp.float32
     n_valid: int | None = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -118,14 +152,15 @@ class Block(nn.Module):
         dp = DropPath(rate=self.drop_path, deterministic=self.deterministic)
         attn_out = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
-            n_valid=self.n_valid, name="attn"
+            n_valid=self.n_valid, int8=self.int8, name="attn"
         )(ln("norm1")(x))
         if self.layer_scale:
             attn_out = LayerScale(self.dim, name="ls1")(attn_out)
         x = x + dp(attn_out)
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
-            ln("norm2")(x)
-        )
+        mlp_out = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+            int8=self.int8, name="mlp"
+        )(ln("norm2")(x))
         if self.layer_scale:
             mlp_out = LayerScale(self.dim, name="ls2")(mlp_out)
         return x + dp(mlp_out)
@@ -146,6 +181,7 @@ class ScannedBlocks(nn.Module):
     unroll: int = 1  # scan unroll factor (layout experiment knob)
     dtype: Dtype = jnp.float32
     n_valid: int | None = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, tokens):
@@ -159,6 +195,7 @@ class ScannedBlocks(nn.Module):
                 qkv_bias=self.qkv_bias,
                 dtype=self.dtype,
                 n_valid=self.n_valid,
+                int8=self.int8,
                 name="block",
             )(carry)
             return out, None
@@ -187,6 +224,7 @@ class DinoV2(nn.Module):
     patch_size: int = 14
     pretrain_img_size: int = 518
     dtype: Dtype = jnp.float32
+    int8: bool = False  # run the block Dense layers via dynamic int8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -237,6 +275,7 @@ class DinoV2(nn.Module):
             layer_scale=True,
             dtype=self.dtype,
             n_valid=ntok if npad != ntok else None,
+            int8=self.int8,
             name="blocks",
         )(tokens)
         tokens = nn.LayerNorm(

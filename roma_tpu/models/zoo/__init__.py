@@ -101,6 +101,7 @@ def _roma_model(
     attenuate_cert: bool = True,
     dtype: Any = jnp.float32,
     amp: bool = True,
+    vit_int8: bool = False,
     config: RoMaConfig | None = None,
     variant: str | None = None,
 ) -> RegressionMatcher:
@@ -111,13 +112,20 @@ def _roma_model(
     ``variant`` ("outdoor"/"indoor") selects the released checkpoint to
     auto-download when no weights are passed.
     """
+    import dataclasses
+
     if isinstance(coarse_res, int):
         coarse_res = (coarse_res, coarse_res)
     if isinstance(upsample_res, int):
         upsample_res = (upsample_res, upsample_res)
     config = config or RoMaConfig()
+    if vit_int8:
+        config = dataclasses.replace(config, vit_int8=True)
     compute_dtype = jnp.bfloat16 if amp else dtype
-    if variant is not None and config == RoMaConfig():
+    # vit_int8 is a serving knob, not an architecture change — the param
+    # tree is identical, so released weights still apply
+    arch = dataclasses.replace(config, vit_int8=False)
+    if variant is not None and arch == RoMaConfig():
         if weights is None:
             weights = _fetch_state_dict(WEIGHT_URLS["romatch"][variant])
         if weights is not None and dinov2_weights is None:

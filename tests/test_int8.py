@@ -1,0 +1,76 @@
+"""Dynamic-int8 Dense path for the frozen ViT (ops/int8.py, vit.QDense).
+
+Serving-only opt-in (RoMaConfig.vit_int8); these pin (a) the quantized
+matmul's accuracy envelope, (b) QDense's param-tree compatibility with
+nn.Dense (checkpoints must be oblivious), (c) end-to-end closeness of an
+int8 ViT to its f32 twin with shared weights.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roma_tpu.models.vit import DinoV2, QDense
+from roma_tpu.ops.int8 import int8_matmul
+
+
+def test_int8_matmul_accuracy():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(64, 256), jnp.float32)
+    w = jnp.asarray(rs.randn(256, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rs.randn(128), jnp.float32)
+    got = int8_matmul(x, w, b)
+    want = x @ w + b
+    # per-token/per-channel symmetric int8: worst-case rel error ~1/127
+    # per operand; allow a modest envelope over the product
+    denom = jnp.maximum(jnp.abs(want), 1.0)
+    rel = jnp.max(jnp.abs(got - want) / denom)
+    # error scales ~ sqrt(K)/127 per operand for gaussian inputs; 0.031
+    # measured at K=256
+    assert float(rel) < 0.05, float(rel)
+
+
+def test_int8_matmul_extreme_rows():
+    # all-zero rows and huge-dynamic-range rows must not NaN/Inf
+    x = jnp.zeros((4, 32), jnp.float32)
+    w = jnp.ones((32, 16), jnp.float32)
+    out = int8_matmul(x, w)
+    assert np.all(np.isfinite(np.asarray(out))) and float(jnp.max(jnp.abs(out))) == 0.0
+    x2 = jnp.asarray([[1e-30] * 31 + [1e6]], jnp.float32)
+    out2 = int8_matmul(x2, w)
+    assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_qdense_param_tree_matches_dense():
+    x = jnp.ones((2, 8, 48))
+    vd = nn.Dense(32, param_dtype=jnp.float32).init(jax.random.PRNGKey(0), x)
+    vq = QDense(32).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vd) == jax.tree_util.tree_structure(vq)
+    assert jax.tree.map(lambda a: a.shape, vd) == jax.tree.map(lambda a: a.shape, vq)
+    # identical init (same initializers + rng)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        vd, vq,
+    )
+
+
+def test_vit_int8_end_to_end_close():
+    """Same weights, int8 vs f32 DinoV2: outputs stay strongly correlated."""
+    kw = dict(embed_dim=128, depth=2, num_heads=2, patch_size=14,
+              pretrain_img_size=56)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 56, 56, 3), jnp.float32)
+    vit = DinoV2(**kw)
+    variables = vit.init(jax.random.PRNGKey(0), x)
+    ref = vit.apply(variables, x)
+    got = DinoV2(**kw, int8=True).apply(variables, x)
+    assert got.shape == ref.shape
+    a = np.asarray(ref, np.float64).ravel()
+    b = np.asarray(got, np.float64).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.995, corr
+    # int8 variables init to the same tree (param-compat both directions)
+    v2 = DinoV2(**kw, int8=True).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(variables)

@@ -73,6 +73,87 @@ def train_bs8():
     bench_train_step.main()
 
 
+# ------------------------------------------------------------------ 5
+@step("int8-matmul-probe")
+def int8_probe():
+    # Is XLA's int8 dot fast on this stack? ViT-L block shapes, bf16 vs
+    # int8xint8->int32 (the AQT-style dynamic-quant primitive). Decides
+    # whether an opt-in quantized frozen-DINOv2 path is worth building
+    # (v5e int8 MXU peak is 2x bf16).
+    import time
+
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    m, reps = 16 * 1664, 40
+    for k, n in ((1024, 3072), (1024, 4096), (4096, 1024), (1024, 1024)):
+        xb = jnp.asarray(rs.randn(m, k), jnp.bfloat16)
+        wb = jnp.asarray(rs.randn(k, n), jnp.bfloat16)
+        xq = jnp.asarray(rs.randint(-127, 128, (m, k)), jnp.int8)
+        wq = jnp.asarray(rs.randint(-127, 128, (k, n)), jnp.int8)
+
+        @jax.jit
+        def f_bf16(a, b):
+            return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+        @jax.jit
+        def f_int8(a, b):
+            return jax.lax.dot(a, b, preferred_element_type=jnp.int32)
+
+        for name, f, a, b_ in (("bf16", f_bf16, xb, wb), ("int8", f_int8, xq, wq)):
+            try:
+                float(jnp.sum(f(a, b_)[0]))  # compile + barrier
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    o = f(a, b_)
+                float(jnp.sum(o[0]))
+                dt = (time.perf_counter() - t0) / reps
+                tflops = 2 * m * k * n / dt / 1e12
+                print(f"  ({m},{k})@({k},{n}) {name}: {dt*1e3:7.2f} ms "
+                      f"{tflops:6.1f} T", flush=True)
+            except Exception as e:
+                print(f"  ({m},{k})@({k},{n}) {name}: FAILED {type(e).__name__} {e}",
+                      flush=True)
+
+
+# ------------------------------------------------------------------ 6
+@step("int8-vit-e2e")
+def int8_e2e():
+    # roma_outdoor(vit_int8=True) 560->864 bs8 vs the step-2 baseline.
+    # Only meaningful if the int8-matmul-probe shows XLA int8 dots beating
+    # bf16; the number stands either way.
+    import time
+
+    import numpy as np
+
+    from roma_tpu.models.zoo import roma_outdoor
+
+    import bench as bench_mod
+
+    model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True, vit_int8=True)
+    bench_mod.smooth_coarse_warp(model)
+    rs = np.random.RandomState(0)
+    ims = [
+        jnp.asarray(rs.randn(8, r, r, 3), model.dtype)
+        for r in (560, 560, 864, 864)
+    ]
+
+    def run():
+        warp, cert = model.match(
+            ims[0], ims[1], im_A_high_res=ims[2], im_B_high_res=ims[3]
+        )
+        return float(jnp.sum(cert))
+
+    run()
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"  int8 ViT e2e 560->864 bs8: {dt*1e3:.0f} ms/batch "
+          f"= {8/dt:.3f} pairs/s/chip", flush=True)
+
+
 def main():
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}", flush=True)
     for name, fn in STEPS:
