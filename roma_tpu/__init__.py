@@ -8,8 +8,10 @@ and jax.sharding data parallelism for training and benchmark sweeps.
 from .models.roma import RegressionMatcher
 from .models.tiny import TinyRoMa
 from .models.zoo import roma_indoor, roma_outdoor, tiny_roma_v1_outdoor
+from .serving import MatchEngine
 
 __all__ = [
+    "MatchEngine",
     "RegressionMatcher",
     "TinyRoMa",
     "roma_indoor",

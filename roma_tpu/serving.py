@@ -1,0 +1,219 @@
+"""Production batch-matching engine: prefetch-overlapped, ICI-shardable.
+
+The reference has no serving layer — its benchmarks match one pair at a
+time from paths (romatch/benchmarks/megadepth_pose_estimation_benchmark.py:
+25-58), leaving the GPU idle during every PIL decode/resize. This engine is
+the TPU-native throughput path for matching large pair streams:
+
+  * host preprocessing (decode, bicubic resize to the model's two static
+    resolutions, ImageNet normalize) runs in a thread pool, ``prefetch``
+    batches ahead of the device;
+  * each batch is ONE jitted two-pass match (static shapes — the final
+    short batch is padded, results sliced);
+  * with a ``jax.sharding.Mesh``, the pair batch is sharded over the
+    ``data`` axis and GSPMD scales the match across chips — the same
+    scheme the training step and sharded benchmarks use;
+  * dispatch is asynchronous: up to ``inflight`` device batches are in
+    the XLA queue while the host preps the next ones, so host and device
+    never wait on each other.
+
+Example::
+
+    import roma_tpu
+    from roma_tpu.serving import MatchEngine
+
+    model = roma_tpu.roma_outdoor()
+    engine = MatchEngine(model, batch_size=8)
+    for r in engine.match_paths([("a0.jpg", "b0.jpg"), ("a1.jpg", "b1.jpg")]):
+        matches, cert = model.sample(r.warp, r.certainty, num=5000)
+
+Results stream in input order. ``r.warp`` / ``r.certainty`` are device
+arrays (sample/to_pixel_coordinates consume them directly); nothing is
+copied back to host unless the caller asks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from .utils.image import imagenet_normalize, load_image, resize, to_array
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """One matched pair: index into the input stream + dense outputs."""
+
+    index: int
+    im_A: object
+    im_B: object
+    warp: object       # (H, W, 4) or (H, 2W, 4) symmetric — model convention
+    certainty: object  # matching certainty map
+
+
+def _prep(im, hw) -> np.ndarray:
+    return imagenet_normalize(to_array(resize(load_image(im), hw)))
+
+
+class MatchEngine:
+    """Batched dense matcher over a pair stream.
+
+    Args:
+      model: a ``RegressionMatcher`` / ``TinyRoMa`` style matcher whose
+        ``match(im_A, im_B, [im_*_high_res])`` accepts batched NHWC arrays.
+      batch_size: pairs per device batch (per jitted program).
+      mesh: optional 1-D ``jax.sharding.Mesh`` with a ``data`` axis; the
+        pair batch is sharded across it. ``batch_size`` must divide by the
+        mesh size.
+      prefetch: host-side batches prepared ahead of dispatch.
+      inflight: device batches allowed in the XLA queue before the engine
+        blocks on the oldest result (bounds device memory).
+      workers: decode/resize threads.
+    """
+
+    def __init__(
+        self,
+        model,
+        batch_size: int = 8,
+        mesh=None,
+        prefetch: int = 2,
+        inflight: int = 2,
+        workers: int = 8,
+    ):
+        import jax
+
+        if mesh is not None and batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide across the {mesh.size}-device mesh"
+            )
+        self.model = model
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.prefetch = max(1, prefetch)
+        self.inflight = max(1, inflight)
+        self.workers = workers
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P("data"))
+        self._jax = jax
+
+    # ------------------------------------------------------------------ #
+
+    def _resolutions(self):
+        m = self.model
+        coarse_hw = (m.h_resized, m.w_resized)
+        up_hw = m.upsample_res if getattr(m, "upsample_preds", False) else None
+        return coarse_hw, up_hw
+
+    def _prep_batch(self, pool: ThreadPoolExecutor, chunk: Sequence[tuple]):
+        """Decode+resize+normalize a chunk of (im_A, im_B) on the pool;
+        returns stacked arrays padded to batch_size."""
+        coarse_hw, up_hw = self._resolutions()
+        pad = self.batch_size - len(chunk)
+        padded = list(chunk) + [chunk[-1]] * pad
+
+        jobs = []
+        for a, b in padded:
+            jobs.append(pool.submit(_prep, a, coarse_hw))
+            jobs.append(pool.submit(_prep, b, coarse_hw))
+            if up_hw is not None:
+                jobs.append(pool.submit(_prep, a, up_hw))
+                jobs.append(pool.submit(_prep, b, up_hw))
+        per = 4 if up_hw is not None else 2
+        outs = [j.result() for j in jobs]
+        batch = {
+            "im_A": np.stack(outs[0::per]),
+            "im_B": np.stack(outs[1::per]),
+        }
+        if up_hw is not None:
+            batch["im_A_high_res"] = np.stack(outs[2::per])
+            batch["im_B_high_res"] = np.stack(outs[3::per])
+        return batch
+
+    def _dispatch(self, batch: dict):
+        jnp = self._jax.numpy
+        if self._sharding is not None:
+            batch = {
+                k: self._jax.device_put(v, self._sharding) for k, v in batch.items()
+            }
+        kw = {
+            k: jnp.asarray(batch[k], self.model.dtype)
+            for k in ("im_A_high_res", "im_B_high_res")
+            if k in batch
+        }
+        return self.model.match(
+            jnp.asarray(batch["im_A"], self.model.dtype),
+            jnp.asarray(batch["im_B"], self.model.dtype),
+            **kw,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def match_paths(
+        self, pairs: Iterable[tuple], *, on_host: bool = False
+    ) -> Iterator[MatchResult]:
+        """Match a stream of (im_A, im_B) pairs (paths, PIL images, or HWC
+        arrays — anything ``utils.image.load_image`` takes). Yields
+        ``MatchResult`` in input order.
+
+        ``on_host=True`` converts warp/certainty to numpy before yielding
+        (one device->host copy per batch, sliced per pair).
+        """
+        pairs = list(pairs)
+        if not pairs:
+            return
+        chunks = [
+            pairs[i : i + self.batch_size]
+            for i in range(0, len(pairs), self.batch_size)
+        ]
+
+        prepped: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for chunk in chunks:
+                        prepped.put(self._prep_batch(pool, chunk))
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                prepped.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        pending: list[tuple[Sequence[tuple], object, object]] = []
+        base = 0
+
+        def drain_one():
+            nonlocal base
+            chunk, warp, certainty = pending.pop(0)
+            if on_host:
+                warp = np.asarray(warp)
+                certainty = np.asarray(certainty)
+            for i, (a, b) in enumerate(chunk):
+                yield MatchResult(base + i, a, b, warp[i], certainty[i])
+            base += len(chunk)
+
+        ci = 0
+        while True:
+            batch = prepped.get()
+            if batch is None:
+                if err:
+                    raise err[0]
+                break
+            warp, certainty = self._dispatch(batch)
+            pending.append((chunks[ci], warp, certainty))
+            ci += 1
+            if len(pending) > self.inflight:
+                yield from drain_one()
+        while pending:
+            yield from drain_one()
+        t.join()

@@ -1,0 +1,69 @@
+"""MatchEngine (roma_tpu/serving.py): prefetch-overlapped batched matching.
+
+Pins: input-order streaming, final-batch padding, equality with a direct
+batched model.match on the same preprocessed arrays, and the on_host mode.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from roma_tpu.models.zoo import roma_outdoor
+from roma_tpu.serving import MatchEngine, _prep
+
+A = "/root/reference/assets/sacre_coeur_A.jpg"
+B = "/root/reference/assets/sacre_coeur_B.jpg"
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return roma_outdoor(coarse_res=140, upsample_res=224)
+
+
+def test_match_engine_streams_in_order(small_model):
+    import jax.numpy as jnp
+
+    model = small_model
+    pairs = [(A, B), (B, A), (A, A)]  # 3 pairs, batch 2 -> padded final batch
+    engine = MatchEngine(model, batch_size=2, prefetch=2, workers=4)
+    results = list(engine.match_paths(pairs, on_host=True))
+    assert [r.index for r in results] == [0, 1, 2]
+    assert all(isinstance(r.warp, np.ndarray) for r in results)
+
+    # direct batched reference on the same preprocessed arrays
+    coarse_hw = (model.h_resized, model.w_resized)
+    up_hw = model.upsample_res
+    for start in (0, 2):
+        chunk = pairs[start : start + 2]
+        padded = chunk + [chunk[-1]] * (2 - len(chunk))
+        warp, cert = model.match(
+            jnp.asarray(np.stack([_prep(p[0], coarse_hw) for p in padded]), model.dtype),
+            jnp.asarray(np.stack([_prep(p[1], coarse_hw) for p in padded]), model.dtype),
+            im_A_high_res=jnp.asarray(
+                np.stack([_prep(p[0], up_hw) for p in padded]), model.dtype
+            ),
+            im_B_high_res=jnp.asarray(
+                np.stack([_prep(p[1], up_hw) for p in padded]), model.dtype
+            ),
+        )
+        for i, _ in enumerate(chunk):
+            r = results[start + i]
+            np.testing.assert_allclose(
+                r.warp, np.asarray(warp[i]), atol=1e-6, rtol=0
+            )
+            np.testing.assert_allclose(
+                r.certainty, np.asarray(cert[i]), atol=1e-6, rtol=0
+            )
+
+
+def test_match_engine_empty_and_validation(small_model):
+    engine = MatchEngine(small_model, batch_size=2)
+    assert list(engine.match_paths([])) == []
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:2])
+    if len(devs) >= 2:
+        mesh = Mesh(devs, ("data",))
+        with pytest.raises(ValueError, match="must divide"):
+            MatchEngine(small_model, batch_size=3, mesh=mesh)
