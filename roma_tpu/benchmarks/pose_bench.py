@@ -147,46 +147,20 @@ def match_pairs_single(model, pairs: Iterable[PosePair]) -> Iterator[tuple[PoseP
 def match_pairs_batched(
     model, pairs: list[PosePair], batch_size: int, mesh=None
 ) -> Iterator[tuple[PosePair, object, object]]:
-    """Batched match phase: pre-resize every pair to the model's two static
-    resolutions on host, stack into B-pair batches, run ONE jitted two-pass
-    match per batch — optionally with the pair batch sharded over the ICI
-    ``mesh`` (GSPMD inserts the collectives). Per-pair preprocessing is
-    identical to the path mode (PIL bicubic + ImageNet normalize), so metrics
-    match the single-pair protocol up to sampling noise.
+    """Batched match phase via ``serving.MatchEngine``: host preprocessing
+    (PIL bicubic + ImageNet normalize, identical to the path mode) prefetches
+    ahead of the device, one jitted two-pass match per B-pair batch,
+    optionally with the pair batch sharded over the ICI ``mesh`` (GSPMD
+    inserts the collectives). Metrics match the single-pair protocol up to
+    sampling noise.
     """
-    import jax
-    import jax.numpy as jnp
+    from ..serving import MatchEngine
 
-    from ..utils.image import imagenet_normalize, load_image, resize, to_array
-
-    def prep(path, hw):
-        return imagenet_normalize(to_array(resize(load_image(path), hw)))
-
-    coarse_hw = (model.h_resized, model.w_resized)
-    up_hw = model.upsample_res if model.upsample_preds else None
-
-    for start in range(0, len(pairs), batch_size):
-        chunk = pairs[start : start + batch_size]
-        pad = batch_size - len(chunk)  # static shapes: pad the final batch
-        padded = chunk + [chunk[-1]] * pad
-        kw = {}
-        batch_A = np.stack([prep(p.im_A, coarse_hw) for p in padded])
-        batch_B = np.stack([prep(p.im_B, coarse_hw) for p in padded])
-        if up_hw is not None:
-            kw["im_A_high_res"] = np.stack([prep(p.im_A, up_hw) for p in padded])
-            kw["im_B_high_res"] = np.stack([prep(p.im_B, up_hw) for p in padded])
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(mesh, P("data"))
-            batch_A = jax.device_put(batch_A, sharding)
-            batch_B = jax.device_put(batch_B, sharding)
-            kw = {k: jax.device_put(v, sharding) for k, v in kw.items()}
-        warp, certainty = model.match(
-            jnp.asarray(batch_A, model.dtype), jnp.asarray(batch_B, model.dtype), **kw
-        )
-        for i, pair in enumerate(chunk):
-            yield pair, warp[i], certainty[i]
+    engine = MatchEngine(model, batch_size=batch_size, mesh=mesh)
+    for pair, result in zip(
+        pairs, engine.match_paths((p.im_A, p.im_B) for p in pairs)
+    ):
+        yield pair, result.warp, result.certainty
 
 
 def run_pose_benchmark(
