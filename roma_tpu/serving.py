@@ -55,8 +55,9 @@ class MatchResult:
     certainty: object  # matching certainty map
 
 
-def _prep(im, hw) -> np.ndarray:
-    return imagenet_normalize(to_array(resize(load_image(im), hw)))
+def _prep(im, hw, normalize: bool = True) -> np.ndarray:
+    x = to_array(resize(load_image(im), hw))
+    return imagenet_normalize(x) if normalize else x
 
 
 class MatchEngine:
@@ -73,6 +74,12 @@ class MatchEngine:
       inflight: device batches allowed in the XLA queue before the engine
         blocks on the oldest result (bounds device memory).
       workers: decode/resize threads.
+      resize_hw: fixed (h, w) to resize every image to, for matchers
+        without a built-in canvas (TinyRoMa); big-RoMa matchers default to
+        their own (h_resized, w_resized) + upsample_res.
+      normalize: ImageNet-normalize on host (True for RegressionMatcher;
+        False for TinyRoMa, which takes [0,1] images — reference
+        tiny.py:72-79).
     """
 
     def __init__(
@@ -83,6 +90,8 @@ class MatchEngine:
         prefetch: int = 2,
         inflight: int = 2,
         workers: int = 8,
+        resize_hw: tuple[int, int] | None = None,
+        normalize: bool = True,
     ):
         import jax
 
@@ -96,6 +105,14 @@ class MatchEngine:
         self.prefetch = max(1, prefetch)
         self.inflight = max(1, inflight)
         self.workers = workers
+        self.resize_hw = resize_hw
+        self.normalize = normalize
+        if resize_hw is None and not hasattr(model, "h_resized"):
+            raise ValueError(
+                "model has no built-in canvas (h_resized/w_resized); pass "
+                "resize_hw=(h, w) — e.g. MatchEngine(tiny, resize_hw=(448, 640), "
+                "normalize=False)"
+            )
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -107,6 +124,8 @@ class MatchEngine:
 
     def _resolutions(self):
         m = self.model
+        if self.resize_hw is not None:
+            return self.resize_hw, None
         coarse_hw = (m.h_resized, m.w_resized)
         up_hw = m.upsample_res if getattr(m, "upsample_preds", False) else None
         return coarse_hw, up_hw
@@ -120,11 +139,11 @@ class MatchEngine:
 
         jobs = []
         for a, b in padded:
-            jobs.append(pool.submit(_prep, a, coarse_hw))
-            jobs.append(pool.submit(_prep, b, coarse_hw))
+            jobs.append(pool.submit(_prep, a, coarse_hw, self.normalize))
+            jobs.append(pool.submit(_prep, b, coarse_hw, self.normalize))
             if up_hw is not None:
-                jobs.append(pool.submit(_prep, a, up_hw))
-                jobs.append(pool.submit(_prep, b, up_hw))
+                jobs.append(pool.submit(_prep, a, up_hw, self.normalize))
+                jobs.append(pool.submit(_prep, b, up_hw, self.normalize))
         per = 4 if up_hw is not None else 2
         outs = [j.result() for j in jobs]
         batch = {

@@ -67,3 +67,36 @@ def test_match_engine_empty_and_validation(small_model):
         mesh = Mesh(devs, ("data",))
         with pytest.raises(ValueError, match="must divide"):
             MatchEngine(small_model, batch_size=3, mesh=mesh)
+
+
+def test_match_engine_tiny():
+    """TinyRoMa through the engine: resize_hw + normalize=False mode."""
+    import jax.numpy as jnp
+
+    from roma_tpu.models.zoo import tiny_roma_v1_outdoor
+
+    model = tiny_roma_v1_outdoor()
+    engine = MatchEngine(model, batch_size=2, resize_hw=(224, 320),
+                         normalize=False, workers=2)
+    results = list(engine.match_paths([(A, B), (B, A), (A, A)], on_host=True))
+    assert [r.index for r in results] == [0, 1, 2]
+
+    # reference: direct batched match on the same prepped arrays
+    arrs = [
+        (_prep(a, (224, 320), False), _prep(b, (224, 320), False))
+        for a, b in [(A, B), (B, A), (A, A)]
+    ]
+    for start in (0, 2):
+        chunk = arrs[start : start + 2]
+        padded = chunk + [chunk[-1]] * (2 - len(chunk))
+        warp, cert = model.match(
+            jnp.asarray(np.stack([p[0] for p in padded]), model.dtype),
+            jnp.asarray(np.stack([p[1] for p in padded]), model.dtype),
+        )
+        for i in range(len(chunk)):
+            np.testing.assert_allclose(
+                results[start + i].warp, np.asarray(warp[i]), atol=1e-6, rtol=0
+            )
+
+    with pytest.raises(ValueError, match="resize_hw"):
+        MatchEngine(model, batch_size=2)
