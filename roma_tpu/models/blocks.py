@@ -48,6 +48,36 @@ def torch_conv(
     )
 
 
+class QConv1x1(nn.Module):
+    """1x1 conv computed via dynamic int8 (ops/int8.py): the (B,H,W,Cin)
+    map contracts against the (Cin,Cout) kernel on the int8 MXU with
+    per-pixel activation scales. Param tree identical to
+    ``nn.Conv(features, (1,1))`` (kernel (1,1,Cin,Cout) f32 + bias), so
+    checkpoints and converters are oblivious to which one built a model."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.int8 import int8_matmul
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, ci, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return int8_matmul(
+            x, kernel.reshape(ci, self.features), bias, out_dtype=self.dtype
+        )
+
+
 def torch_bn(
     affine: bool = True,
     train: bool = False,

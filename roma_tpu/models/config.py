@@ -48,6 +48,10 @@ class RoMaConfig:
     # (ops/int8.py) — v5e int8 MXU is 2x bf16. Changes numerics; validate
     # golden metrics before enabling in production.
     vit_int8: bool = False
+    # serving-only: refiner hidden 1x1 convs via dynamic int8 (the wide-C
+    # stacks are matmul-bound at C up to 1377). Inference only — ignored
+    # in train mode (round() has zero gradient). Same validation caveat.
+    refiner_int8: bool = False
     # GP + transformer match proposer
     gp_dim: int = 512
     cls_res: int = 64          # coarse-match anchor grid (64x64 + 1 certainty)

@@ -33,7 +33,7 @@ from ..ops import (
     warp_sample,
 )
 from ..ops import pallas_refiner
-from .blocks import torch_bn, torch_conv
+from .blocks import QConv1x1, torch_bn, torch_conv
 from .config import RefinerSpec, RoMaConfig
 from .encoders import CNNandDinov2
 from .vit import ScannedBlocks
@@ -147,6 +147,7 @@ class RefinerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     train: bool = False
     bn_momentum: float = 0.01
+    int8: bool = False  # serving-only: 1x1 via dynamic int8 (zero-grad round)
 
     @nn.compact
     def __call__(self, x):
@@ -164,6 +165,8 @@ class RefinerBlock(nn.Module):
             name="bn",
         )(x)
         x = nn.relu(x)
+        if self.int8 and not self.train:
+            return QConv1x1(self.out_dim, dtype=self.dtype, name="conv2")(x)
         return torch_conv(self.out_dim, kernel=1, padding=0, dtype=self.dtype, name="conv2")(x)
 
 
@@ -220,6 +223,7 @@ class ConvRefiner(nn.Module):
     train: bool = False
     bn_momentum: float = 0.01
     remat: bool = False  # per-block scan checkpointing (training memory)
+    int8: bool = False   # serving-only: hidden 1x1 convs via dynamic int8
 
     @nn.compact
     def __call__(self, x, y, flow, scale_factor: float = 1.0):
@@ -247,7 +251,7 @@ class ConvRefiner(nn.Module):
         d = jnp.concatenate(parts, axis=-1)
         blk = dict(
             out_dim=s.hidden_dim, kernel=s.kernel_size, dtype=self.dtype,
-            train=self.train, bn_momentum=self.bn_momentum,
+            train=self.train, bn_momentum=self.bn_momentum, int8=self.int8,
         )
         # Inference fast path for the narrow-channel stacks (scale 1: C=24,
         # where XLA's NHWC convs waste 81% of the vector lanes): fold the BN
@@ -338,6 +342,7 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 train=self.train_mode,
                 remat=self.remat,
+                int8=cfg.refiner_int8,
                 name=f"refiner{s}",
             )
             for s, spec in cfg.refiner_specs().items()

@@ -102,6 +102,7 @@ def _roma_model(
     dtype: Any = jnp.float32,
     amp: bool = True,
     vit_int8: bool = False,
+    refiner_int8: bool = False,
     config: RoMaConfig | None = None,
     variant: str | None = None,
 ) -> RegressionMatcher:
@@ -119,12 +120,16 @@ def _roma_model(
     if isinstance(upsample_res, int):
         upsample_res = (upsample_res, upsample_res)
     config = config or RoMaConfig()
-    if vit_int8:
-        config = dataclasses.replace(config, vit_int8=True)
+    if vit_int8 or refiner_int8:
+        config = dataclasses.replace(
+            config,
+            vit_int8=vit_int8 or config.vit_int8,
+            refiner_int8=refiner_int8 or config.refiner_int8,
+        )
     compute_dtype = jnp.bfloat16 if amp else dtype
-    # vit_int8 is a serving knob, not an architecture change — the param
-    # tree is identical, so released weights still apply
-    arch = dataclasses.replace(config, vit_int8=False)
+    # the int8 flags are serving knobs, not architecture changes — the
+    # param tree is identical, so released weights still apply
+    arch = dataclasses.replace(config, vit_int8=False, refiner_int8=False)
     if variant is not None and arch == RoMaConfig():
         if weights is None:
             weights = _fetch_state_dict(WEIGHT_URLS["romatch"][variant])

@@ -74,3 +74,28 @@ def test_vit_int8_end_to_end_close():
     # int8 variables init to the same tree (param-compat both directions)
     v2 = DinoV2(**kw, int8=True).init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(variables)
+
+
+def test_refiner_block_int8_close():
+    """RefinerBlock(int8=True): same param tree, close output (serving
+    knob for the wide-C 1x1-dominated stacks)."""
+    from roma_tpu.models.matcher import RefinerBlock
+
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 16, 16, 32), jnp.float32)
+    blk = RefinerBlock(out_dim=32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    v8 = RefinerBlock(out_dim=32, int8=True).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v8)
+    ref = blk.apply(v, x)
+    got = RefinerBlock(out_dim=32, int8=True).apply(v, x)
+    a, b = np.asarray(ref).ravel(), np.asarray(got).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.995
+    # train mode ignores the flag (zero-grad round would kill training)
+    vt = RefinerBlock(out_dim=32, int8=True, train=True).init(jax.random.PRNGKey(0), x)
+    out_t, _ = RefinerBlock(out_dim=32, int8=True, train=True).apply(
+        vt, x, mutable=["batch_stats"]
+    )
+    out_f, _ = RefinerBlock(out_dim=32, int8=False, train=True).apply(
+        vt, x, mutable=["batch_stats"]
+    )
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_f))

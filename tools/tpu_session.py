@@ -117,11 +117,11 @@ def int8_probe():
 
 
 # ------------------------------------------------------------------ 6
-@step("int8-vit-e2e")
+@step("int8-e2e")
 def int8_e2e():
-    # roma_outdoor(vit_int8=True) 560->864 bs8 vs the step-2 baseline.
-    # Only meaningful if the int8-matmul-probe shows XLA int8 dots beating
-    # bf16; the number stands either way.
+    # roma_outdoor int8 serving knobs, 560->864 bs8, vs the step-2
+    # baseline. Only meaningful if the int8-matmul-probe shows XLA int8
+    # dots beating bf16; the numbers stand either way.
     import time
 
     import numpy as np
@@ -130,28 +130,32 @@ def int8_e2e():
 
     import bench as bench_mod
 
-    model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True, vit_int8=True)
-    bench_mod.smooth_coarse_warp(model)
     rs = np.random.RandomState(0)
-    ims = [
-        jnp.asarray(rs.randn(8, r, r, 3), model.dtype)
-        for r in (560, 560, 864, 864)
-    ]
+    for tag, kw in (
+        ("vit_int8", dict(vit_int8=True)),
+        ("vit+refiner_int8", dict(vit_int8=True, refiner_int8=True)),
+    ):
+        model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True, **kw)
+        bench_mod.smooth_coarse_warp(model)
+        ims = [
+            jnp.asarray(rs.randn(8, r, r, 3), model.dtype)
+            for r in (560, 560, 864, 864)
+        ]
 
-    def run():
-        warp, cert = model.match(
-            ims[0], ims[1], im_A_high_res=ims[2], im_B_high_res=ims[3]
-        )
-        return float(jnp.sum(cert))
+        def run():
+            warp, cert = model.match(
+                ims[0], ims[1], im_A_high_res=ims[2], im_B_high_res=ims[3]
+            )
+            return float(jnp.sum(cert))
 
-    run()
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
         run()
-    dt = (time.perf_counter() - t0) / iters
-    print(f"  int8 ViT e2e 560->864 bs8: {dt*1e3:.0f} ms/batch "
-          f"= {8/dt:.3f} pairs/s/chip", flush=True)
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            run()
+        dt = (time.perf_counter() - t0) / iters
+        print(f"  {tag} e2e 560->864 bs8: {dt*1e3:.0f} ms/batch "
+              f"= {8/dt:.3f} pairs/s/chip", flush=True)
 
 
 def main():
