@@ -17,20 +17,21 @@ from roma_tpu.models.vit import DinoV2, QDense
 from roma_tpu.ops.int8 import int8_matmul
 
 
-def test_int8_matmul_accuracy():
+@pytest.mark.parametrize("k,n", [(256, 128), (1024, 4096), (4096, 1024)])
+def test_int8_matmul_accuracy(k, n):
+    # (1024, 4096)/(4096, 1024) are the ViT-L MLP contraction dims
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.randn(64, 256), jnp.float32)
-    w = jnp.asarray(rs.randn(256, 128) * 0.05, jnp.float32)
-    b = jnp.asarray(rs.randn(128), jnp.float32)
+    x = jnp.asarray(rs.randn(64, k), jnp.float32)
+    w = jnp.asarray(rs.randn(k, n) * 0.05, jnp.float32)
+    b = jnp.asarray(rs.randn(n), jnp.float32)
     got = int8_matmul(x, w, b)
     want = x @ w + b
-    # per-token/per-channel symmetric int8: worst-case rel error ~1/127
-    # per operand; allow a modest envelope over the product
-    denom = jnp.maximum(jnp.abs(want), 1.0)
-    rel = jnp.max(jnp.abs(got - want) / denom)
-    # error scales ~ sqrt(K)/127 per operand for gaussian inputs; 0.031
-    # measured at K=256
-    assert float(rel) < 0.05, float(rel)
+    # quant noise and signal both grow ~sqrt(K), so max-error normalized
+    # by the output RMS is the stable envelope: measured 0.025 / 0.047 /
+    # 0.054 at these dims
+    rms = float(jnp.sqrt(jnp.mean(want**2)))
+    err = float(jnp.max(jnp.abs(got - want))) / rms
+    assert err < 0.08, err
 
 
 def test_int8_matmul_extreme_rows():
