@@ -32,6 +32,7 @@ def step(name):
 
 
 STEPS = []
+_CACHE: dict = {}  # cross-step artifacts (compiled models)
 
 
 # ------------------------------------------------------------------ 1
@@ -156,6 +157,39 @@ def int8_e2e():
         dt = (time.perf_counter() - t0) / iters
         print(f"  {tag} e2e 560->864 bs8: {dt*1e3:.0f} ms/batch "
               f"= {8/dt:.3f} pairs/s/chip", flush=True)
+        _CACHE["model"] = model  # reused by the serving-engine step
+
+
+# ------------------------------------------------------------------ 7
+@step("serving-engine-throughput")
+def serving_engine():
+    # End-to-end pair-stream throughput THROUGH MatchEngine (real JPEG
+    # decode + resize on host, prefetch-overlapped) vs the device-only
+    # bench numbers. Reuses the last compiled step-6 model.
+    import time
+
+    from roma_tpu.serving import MatchEngine
+
+    model = _CACHE.get("model")
+    if model is None:
+        from roma_tpu.models.zoo import roma_outdoor
+
+        model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
+    A = "/root/reference/assets/sacre_coeur_A.jpg"
+    B = "/root/reference/assets/sacre_coeur_B.jpg"
+    pairs = [(A, B), (B, A)] * 16  # 32 pairs = 4 batches of 8
+    engine = MatchEngine(model, batch_size=8, prefetch=2, workers=8)
+    # warm (compile check with real images) then timed pass
+    for r in engine.match_paths(pairs[:8]):
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for r in engine.match_paths(pairs):
+        c = float(jnp.sum(r.certainty))  # completion barrier per pair slice
+        n += 1
+    dt = time.perf_counter() - t0
+    print(f"  MatchEngine 560->864 bs8, {n} pairs w/ JPEG decode: "
+          f"{n/dt:.3f} pairs/s/chip", flush=True)
 
 
 def main():
