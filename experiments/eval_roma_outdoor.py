@@ -24,6 +24,8 @@ def run(args):
         coarse_res=args.coarse_res,
         upsample_res=args.upsample_res,
         amp=args.bf16,
+        vit_int8=args.vit_int8,
+        refiner_int8=args.refiner_int8,
     )
     results = {}
     bench = MegaDepthPoseEstimationBenchmark(args.data_root)
@@ -46,4 +48,7 @@ if __name__ == "__main__":
     p.add_argument("--upsample_res", type=int, default=1344)
     p.add_argument("--mega_8_scenes", action="store_true")
     p.add_argument("--bf16", action="store_true", default=True)
+    # serving knobs — A/B the int8 paths against the golden metrics
+    p.add_argument("--vit_int8", action="store_true")
+    p.add_argument("--refiner_int8", action="store_true")
     run(p.parse_args())
