@@ -20,6 +20,7 @@ def small_model():
     return roma_outdoor(coarse_res=140, upsample_res=224)
 
 
+@pytest.mark.slow  # two-pass big-model CPU compile (~4 min)
 def test_match_engine_streams_in_order(small_model):
     import jax.numpy as jnp
 
