@@ -26,6 +26,7 @@ def run(args):
         amp=args.bf16,
         vit_int8=args.vit_int8,
         refiner_int8=args.refiner_int8,
+        vit_gelu_tanh=args.vit_gelu_tanh,
     )
     results = {}
     bench = MegaDepthPoseEstimationBenchmark(args.data_root)
@@ -51,4 +52,5 @@ if __name__ == "__main__":
     # serving knobs — A/B the int8 paths against the golden metrics
     p.add_argument("--vit_int8", action="store_true")
     p.add_argument("--refiner_int8", action="store_true")
+    p.add_argument("--vit_gelu_tanh", action="store_true")
     run(p.parse_args())

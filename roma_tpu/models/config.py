@@ -52,6 +52,12 @@ class RoMaConfig:
     # stacks are matmul-bound at C up to 1377). Inference only — ignored
     # in train mode (round() has zero gradient). Same validation caveat.
     refiner_int8: bool = False
+    # serving-only: tanh-approximate GELU in the frozen DINOv2 MLPs.
+    # torch nn.GELU default is exact erf (reference layers/mlp.py:21), which
+    # the TPU VPU pays ~1.8 ms/block for at 560^2; the tanh form is measured
+    # 5.17 -> 3.34 ms/block (~44 ms end-to-end). Max |d gelu| <= ~3e-4
+    # absolute — far below the int8 drift; same golden-metric caveat.
+    vit_gelu_tanh: bool = False
     # GP + transformer match proposer
     gp_dim: int = 512
     cls_res: int = 64          # coarse-match anchor grid (64x64 + 1 certainty)

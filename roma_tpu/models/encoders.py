@@ -95,6 +95,7 @@ class CNNandDinov2(nn.Module):
                 patch_size=cfg.dino_patch,
                 dtype=self.coarse_dtype,
                 int8=cfg.vit_int8,
+                gelu_approx=cfg.vit_gelu_tanh,
                 name="dinov2",
             )
             feats16 = dinov2(x.astype(self.coarse_dtype))

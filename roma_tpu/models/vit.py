@@ -62,11 +62,13 @@ class Mlp(nn.Module):
     out: int
     dtype: Dtype = jnp.float32
     int8: bool = False
+    gelu_approx: bool = False  # serving knob: tanh GELU (see RoMaConfig)
 
     @nn.compact
     def __call__(self, x):
         x = _dense(self.int8, self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # torch nn.GELU default = exact erf (reference layers/mlp.py:21)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = _dense(self.int8, self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -143,6 +145,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     n_valid: int | None = None
     int8: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -159,7 +162,7 @@ class Block(nn.Module):
         x = x + dp(attn_out)
         mlp_out = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-            int8=self.int8, name="mlp"
+            int8=self.int8, gelu_approx=self.gelu_approx, name="mlp"
         )(ln("norm2")(x))
         if self.layer_scale:
             mlp_out = LayerScale(self.dim, name="ls2")(mlp_out)
@@ -182,6 +185,7 @@ class ScannedBlocks(nn.Module):
     dtype: Dtype = jnp.float32
     n_valid: int | None = None
     int8: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, tokens):
@@ -196,6 +200,7 @@ class ScannedBlocks(nn.Module):
                 dtype=self.dtype,
                 n_valid=self.n_valid,
                 int8=self.int8,
+                gelu_approx=self.gelu_approx,
                 name="block",
             )(carry)
             return out, None
@@ -225,6 +230,7 @@ class DinoV2(nn.Module):
     pretrain_img_size: int = 518
     dtype: Dtype = jnp.float32
     int8: bool = False  # run the block Dense layers via dynamic int8
+    gelu_approx: bool = False  # tanh GELU in the MLPs (serving knob)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -276,6 +282,7 @@ class DinoV2(nn.Module):
             dtype=self.dtype,
             n_valid=ntok if npad != ntok else None,
             int8=self.int8,
+            gelu_approx=self.gelu_approx,
             name="blocks",
         )(tokens)
         tokens = nn.LayerNorm(

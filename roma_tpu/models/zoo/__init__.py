@@ -103,6 +103,7 @@ def _roma_model(
     amp: bool = True,
     vit_int8: bool = False,
     refiner_int8: bool = False,
+    vit_gelu_tanh: bool = False,
     config: RoMaConfig | None = None,
     variant: str | None = None,
 ) -> RegressionMatcher:
@@ -120,16 +121,19 @@ def _roma_model(
     if isinstance(upsample_res, int):
         upsample_res = (upsample_res, upsample_res)
     config = config or RoMaConfig()
-    if vit_int8 or refiner_int8:
+    if vit_int8 or refiner_int8 or vit_gelu_tanh:
         config = dataclasses.replace(
             config,
             vit_int8=vit_int8 or config.vit_int8,
             refiner_int8=refiner_int8 or config.refiner_int8,
+            vit_gelu_tanh=vit_gelu_tanh or config.vit_gelu_tanh,
         )
     compute_dtype = jnp.bfloat16 if amp else dtype
-    # the int8 flags are serving knobs, not architecture changes — the
+    # the int8/gelu flags are serving knobs, not architecture changes — the
     # param tree is identical, so released weights still apply
-    arch = dataclasses.replace(config, vit_int8=False, refiner_int8=False)
+    arch = dataclasses.replace(
+        config, vit_int8=False, refiner_int8=False, vit_gelu_tanh=False
+    )
     if variant is not None and arch == RoMaConfig():
         if weights is None:
             weights = _fetch_state_dict(WEIGHT_URLS["romatch"][variant])

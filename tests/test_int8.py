@@ -77,6 +77,30 @@ def test_vit_int8_end_to_end_close():
     assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(variables)
 
 
+def test_vit_gelu_tanh_close():
+    """Serving knob RoMaConfig.vit_gelu_tanh: tanh-GELU DinoV2 vs exact-erf
+    twin with shared weights. The pointwise |d gelu| bound is ~3e-4 abs /
+    ~1e-3 rel; through 2 blocks the token map must stay tightly correlated
+    (far tighter than the int8 envelope)."""
+    kw = dict(embed_dim=128, depth=2, num_heads=2, patch_size=14,
+              pretrain_img_size=56)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 56, 56, 3), jnp.float32)
+    vit = DinoV2(**kw)
+    variables = vit.init(jax.random.PRNGKey(0), x)
+    ref = vit.apply(variables, x)
+    got = DinoV2(**kw, gelu_approx=True).apply(variables, x)
+    a = np.asarray(ref, np.float64).ravel()
+    b = np.asarray(got, np.float64).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99999
+    drift = np.max(np.abs(a - b)) / (np.sqrt(np.mean(a**2)) + 1e-12)
+    assert drift < 0.02, drift
+    # pointwise: the raw gelu forms agree to ~3e-4 abs over the active range
+    z = jnp.linspace(-6, 6, 4097, dtype=jnp.float32)
+    d = np.max(np.abs(np.asarray(nn.gelu(z, approximate=True))
+                      - np.asarray(nn.gelu(z, approximate=False))))
+    assert d < 5e-4, d
+
+
 def test_refiner_block_int8_close():
     """RefinerBlock(int8=True): same param tree, close output (serving
     knob for the wide-C 1x1-dominated stacks)."""
