@@ -1,14 +1,19 @@
 """One serialized TPU session running every pending measurement — the
-tunnel wedges when clients are killed or run concurrently, so everything
-goes through a single long-lived process, in priority order, with
-per-step logs. Safe to re-run; each step is independent.
+tunnel wedges when clients are killed or run concurrently, so steps run
+strictly sequentially. Each step now runs in its OWN subprocess
+(``--step NAME`` re-entry): an OOM mid-step used to leave the shared
+process's HBM wedged and cascade RESOURCE_EXHAUSTED into every later
+step (observed after a bs8 train-step retry). Safe to re-run; each step
+is independent.
 
 nohup python tools/tpu_session.py > /tmp/ts.log 2>&1 &
+python tools/tpu_session.py --step int8-matmul-probe   # one step only
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
@@ -133,8 +138,10 @@ def int8_e2e():
 
     rs = np.random.RandomState(0)
     for tag, kw in (
+        ("gelu_tanh", dict(vit_gelu_tanh=True)),
         ("vit_int8", dict(vit_int8=True)),
         ("vit+refiner_int8", dict(vit_int8=True, refiner_int8=True)),
+        ("all_knobs", dict(vit_int8=True, refiner_int8=True, vit_gelu_tanh=True)),
     ):
         model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True, **kw)
         bench_mod.smooth_coarse_warp(model)
@@ -165,7 +172,8 @@ def int8_e2e():
 def serving_engine():
     # End-to-end pair-stream throughput THROUGH MatchEngine (real JPEG
     # decode + resize on host, prefetch-overlapped) vs the device-only
-    # bench numbers. Reuses the last compiled step-6 model.
+    # bench numbers. Under per-step subprocesses _CACHE is empty, so this
+    # builds the production (no-knobs) model.
     import time
 
     from roma_tpu.serving import MatchEngine
@@ -192,18 +200,32 @@ def serving_engine():
           f"{n/dt:.3f} pairs/s/chip", flush=True)
 
 
-def main():
-    print(f"backend={jax.default_backend()} devices={len(jax.devices())}", flush=True)
-    for name, fn in STEPS:
+def run_step(name):
+    fn = dict(STEPS)[name]
+    print(f"backend={jax.default_backend()}", flush=True)
+    fn()
+
+
+def main(only=None):
+    names = [n for n, _ in STEPS if only is None or n in only]
+    for name in names:
         print(f"== {name} ==", flush=True)
         t0 = time.time()
-        try:
-            fn()
-            print(f"== {name} done in {time.time()-t0:.0f}s ==", flush=True)
-        except Exception:
-            traceback.print_exc()
-            print(f"== {name} FAILED after {time.time()-t0:.0f}s ==", flush=True)
+        # per-step subprocess: a wedged/fragmented HBM dies with the step
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--step", name],
+            cwd=ROOT,
+        )
+        status = "done" if rc == 0 else f"FAILED rc={rc}"
+        print(f"== {name} {status} in {time.time()-t0:.0f}s ==", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--step":
+        try:
+            run_step(sys.argv[2])
+        except Exception:
+            traceback.print_exc()
+            sys.exit(1)
+    else:
+        main(only=set(sys.argv[1:]) or None)
