@@ -356,7 +356,14 @@ class Decoder(nn.Module):
         flow: jnp.ndarray | None = None,
         certainty: jnp.ndarray | None = None,
         scale_factor: float = 1.0,
+        gm_logit_bias: jnp.ndarray | None = None,
     ):
+        """``gm_logit_bias`` (B, H16, W16, cls_res^2) is a diagnostic hook:
+        added to the coarse classification logits before cls_to_flow_refine.
+        Used by the full-dims parity pin (tools/fullres_parity.py) to render a
+        peaked synthetic warp into the classifier — with random weights the
+        64^2-way softmax is a near-uniform tie and argmax flips swamp the
+        numerics being measured. Never set on the production path."""
         scales = [8, 4, 2, 1] if upsample else [16, 8, 4, 2, 1]
         sizes = {s: (f.shape[1], f.shape[2]) for s, f in f1.items()}
         h, w = sizes[1]
@@ -382,6 +389,8 @@ class Decoder(nn.Module):
             if ins == 16 and not upsample:
                 gp_posterior = self.gp16(f1_s, f2_s)
                 cls_logits, certainty = self.embedding_decoder(gp_posterior, f1_s)
+                if gm_logit_bias is not None:
+                    cls_logits = cls_logits + gm_logit_bias
                 flow = cls_to_flow_refine(cls_logits)
                 if self.train_mode:
                     corresps[ins].update(gm_cls=cls_logits, gm_certainty=certainty)
@@ -454,6 +463,7 @@ class RoMaNet(nn.Module):
         flow: jnp.ndarray | None = None,
         certainty: jnp.ndarray | None = None,
         scale_factor: float = 1.0,
+        gm_logit_bias: jnp.ndarray | None = None,
     ):
         x = jnp.concatenate((im_A, im_B), axis=0).astype(self.dtype)
         pyramid = self.encoder(x, upsample=upsample)
@@ -473,4 +483,5 @@ class RoMaNet(nn.Module):
             flow=flow,
             certainty=certainty,
             scale_factor=scale_factor,
+            gm_logit_bias=gm_logit_bias,
         )

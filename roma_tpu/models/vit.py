@@ -85,8 +85,13 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
+        # qkv stays bf16 even under int8: the (K=1024, N=3072) int8 dot is
+        # MEASURED slower than bf16 on v5e (61 vs 100 TFLOP/s at the RoMa
+        # token count; tools/tpu_session.py int8-matmul-probe) — 3C=3072
+        # tiles poorly for the int8 MXU path, while 1024/4096-wide outputs
+        # win 1.24-1.9x. proj/fc1/fc2 quantize, qkv does not.
         qkv = _dense(
-            self.int8, 3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+            False, 3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
         # packed path: the kernel reads the Dense output layout directly
         # and writes token-major, so the (3, B, H, N, D) transpose and the

@@ -27,12 +27,33 @@ def get_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a pytree of host arrays with the leading dim sharded over ICI."""
+    """Place a pytree of host arrays with the leading dim sharded over ICI.
+
+    Single-process: a plain ``device_put``. Multi-process (``jax.distributed``
+    initialized, mesh spanning non-addressable devices): each process passes
+    the identical GLOBAL batch and contributes only the shards its devices
+    own via ``make_array_from_callback`` — the multi-controller analog of
+    DDP's "every rank sees the same global step, holds its slice".
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_callback(
+                np.shape(x), sharding, lambda idx, x=x: np.asarray(x)[idx]
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_callback(
+                np.shape(x), sharding, lambda idx, x=x: np.asarray(x)[idx]
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

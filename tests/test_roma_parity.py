@@ -11,6 +11,8 @@ the real ones, spatial dims are small so the test stays CPU-friendly.
 from __future__ import annotations
 
 import math
+import os
+import sys
 
 import numpy as np
 import pytest
@@ -309,7 +311,10 @@ class DecoderSpec(nn.Module):
         )
         self.refine_init = 4
 
-    def forward(self, f1, f2, upsample=False, flow=None, certainty=None, scale_factor=1.0):
+    def forward(self, f1, f2, upsample=False, flow=None, certainty=None, scale_factor=1.0,
+                gm_logit_bias=None):
+        # gm_logit_bias (B, cls_res^2, H16, W16): diagnostic logit injection
+        # mirroring roma_tpu Decoder's hook (see matcher.py docstring).
         scales = [8, 4, 2, 1] if upsample else [16, 8, 4, 2, 1]
         sizes = {s: f.shape[-2:] for s, f in f1.items()}
         h, w = sizes[1]
@@ -330,6 +335,8 @@ class DecoderSpec(nn.Module):
             if ins == 16 and not upsample:
                 gp_post = self.gp16(f1_s, f2_s)
                 cls_logits, certainty = self.embedding_decoder(gp_post, f1_s)
+                if gm_logit_bias is not None:
+                    cls_logits = cls_logits + gm_logit_bias
                 flow = cls_to_flow_refine_t(cls_logits).permute(0, 3, 1, 2)
             delta_flow, delta_cert = self.refiners[str(ins)](f1_s, f2_s, flow, scale_factor)
             disp = ins * torch.stack(
@@ -352,7 +359,7 @@ class RoMaSpec(nn.Module):
         self.decoder = DecoderSpec()
 
     def forward(self, im_A, im_B, symmetric=False, upsample=False, flow=None,
-                certainty=None, scale_factor=1.0):
+                certainty=None, scale_factor=1.0, gm_logit_bias=None):
         x = torch.cat((im_A, im_B), dim=0)
         pyr = self.encoder(x, upsample=upsample)
         if symmetric:
@@ -362,7 +369,8 @@ class RoMaSpec(nn.Module):
             f_q = {s: f.chunk(2)[0] for s, f in pyr.items()}
             f_s = {s: f.chunk(2)[1] for s, f in pyr.items()}
         return self.decoder(f_q, f_s, upsample=upsample, flow=flow,
-                            certainty=certainty, scale_factor=scale_factor)
+                            certainty=certainty, scale_factor=scale_factor,
+                            gm_logit_bias=gm_logit_bias)
 
 
 # --------------------------------------------------------------------------
@@ -427,6 +435,40 @@ def test_roma_coarse_parity(spec_and_vars):
             t_corresps[s]["certainty"].permute(0, 2, 3, 1).numpy(),
             atol=2e-3,
             err_msg=f"certainty scale {s}",
+        )
+
+
+def test_roma_coarse_parity_peaked_logits(spec_and_vars):
+    """gm_logit_bias diagnostic hook: identical peaked logit injection on both
+    sides -> the coarse anchor argmax is tie-free and the flows must agree
+    tightly (this is the regime trained weights operate in; see
+    tools/fullres_parity.py --peaked)."""
+    spec, variables = spec_and_vars
+    im_A = _imgs(1, 56, 56, 5)
+    im_B = _imgs(1, 56, 56, 6)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fullres_parity import render_peaked_bias
+
+    bias = render_peaked_bias(4, 4)  # 56/14 = 4x4 coarse grid, batch 2
+    net = RoMaNet()
+    corresps = net.apply(
+        variables, jnp.asarray(im_A), jnp.asarray(im_B), symmetric=True,
+        scale_factor=0.1, gm_logit_bias=jnp.asarray(bias),
+    )
+    with torch.no_grad():
+        t_corresps = spec(
+            torch.tensor(im_A).permute(0, 3, 1, 2),
+            torch.tensor(im_B).permute(0, 3, 1, 2),
+            symmetric=True,
+            scale_factor=0.1,
+            gm_logit_bias=torch.tensor(bias).permute(0, 3, 1, 2),
+        )
+    for s in (16, 8, 4, 2, 1):
+        np.testing.assert_allclose(
+            np.asarray(corresps[s]["flow"]),
+            t_corresps[s]["flow"].permute(0, 2, 3, 1).numpy(),
+            atol=2e-3,
+            err_msg=f"flow scale {s}",
         )
 
 

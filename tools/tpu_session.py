@@ -37,7 +37,6 @@ def step(name):
 
 
 STEPS = []
-_CACHE: dict = {}  # cross-step artifacts (compiled models)
 
 
 # ------------------------------------------------------------------ 1
@@ -164,7 +163,6 @@ def int8_e2e():
         dt = (time.perf_counter() - t0) / iters
         print(f"  {tag} e2e 560->864 bs8: {dt*1e3:.0f} ms/batch "
               f"= {8/dt:.3f} pairs/s/chip", flush=True)
-        _CACHE["model"] = model  # reused by the serving-engine step
 
 
 # ------------------------------------------------------------------ 7
@@ -172,17 +170,14 @@ def int8_e2e():
 def serving_engine():
     # End-to-end pair-stream throughput THROUGH MatchEngine (real JPEG
     # decode + resize on host, prefetch-overlapped) vs the device-only
-    # bench numbers. Under per-step subprocesses _CACHE is empty, so this
-    # builds the production (no-knobs) model.
+    # bench numbers. Always builds the production (no-knobs) model.
     import time
 
     from roma_tpu.serving import MatchEngine
 
-    model = _CACHE.get("model")
-    if model is None:
-        from roma_tpu.models.zoo import roma_outdoor
+    from roma_tpu.models.zoo import roma_outdoor
 
-        model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
+    model = roma_outdoor(coarse_res=560, upsample_res=864, amp=True)
     A = "/root/reference/assets/sacre_coeur_A.jpg"
     B = "/root/reference/assets/sacre_coeur_B.jpg"
     pairs = [(A, B), (B, A)] * 16  # 32 pairs = 4 batches of 8
@@ -207,6 +202,14 @@ def run_step(name):
 
 
 def main(only=None):
+    known = {n for n, _ in STEPS}
+    if only is not None:
+        unknown = set(only) - known
+        if unknown:
+            sys.exit(
+                f"unknown step(s): {sorted(unknown)}; "
+                f"available: {sorted(known)}"
+            )
     names = [n for n, _ in STEPS if only is None or n in only]
     for name in names:
         print(f"== {name} ==", flush=True)
@@ -221,7 +224,9 @@ def main(only=None):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--step":
+    if sys.argv[1:2] == ["--step"]:
+        if len(sys.argv) < 3:
+            sys.exit("usage: tpu_session.py --step NAME")
         try:
             run_step(sys.argv[2])
         except Exception:
