@@ -277,12 +277,25 @@ class TinyRoMa:
         kpts_A, kpts_B = coords[..., :2], coords[..., 2:]
         return self._to_pixel(kpts_A, H_A, W_A), self._to_pixel(kpts_B, H_B, W_B)
 
-    def visualize_warp(self, warp, certainty, im_A, im_B, save_path=None):
-        """Warp image B into A's frame weighted by certainty (tiny.py:142-176)."""
+    def visualize_warp(self, warp, certainty, im_A, im_B, save_path=None,
+                       symmetric: bool = False):
+        """Warp image B into A's frame weighted by certainty (tiny.py:142-176).
+
+        ``symmetric=True`` takes a side-by-side (H, 2W, 4) warp (e.g. from two
+        stacked directional matches, reference demo_match_tiny) and renders
+        A<-B | B<-A panels like the reference's ``symmetric`` branch
+        (tiny.py:155-170). The default is False because TinyRoMa.match
+        returns a one-directional (H, W, 4) warp.
+        """
         warp = jnp.asarray(warp)
-        h, w = warp.shape[0], warp.shape[1]
+        h, w2 = warp.shape[0], warp.shape[1]
+        w = w2 // 2 if symmetric else w2
         x_b = jnp.asarray(to_array(resize_pil(im_B, (h, w))))
-        transfer = grid_sample(x_b[None], warp[None, ..., 2:])[0]
+        transfer = grid_sample(x_b[None], warp[None, :, :w, 2:])[0]
+        if symmetric:
+            x_a = jnp.asarray(to_array(resize_pil(im_A, (h, w))))
+            transfer_b = grid_sample(x_a[None], warp[None, :, w:, :2])[0]
+            transfer = jnp.concatenate((transfer, transfer_b), axis=1)
         cert = jnp.asarray(certainty)[..., None]
         vis = cert * transfer + (1 - cert) * jnp.ones_like(transfer)
         if save_path is not None:

@@ -46,13 +46,34 @@ from .utils.image import imagenet_normalize, load_image, resize, to_array
 
 @dataclasses.dataclass
 class MatchResult:
-    """One matched pair: index into the input stream + dense outputs."""
+    """One matched pair: index into the input stream + dense outputs.
+
+    With ``on_error="skip"`` a failed pair yields ``warp is None`` and
+    ``error`` set to the preprocessing exception instead of aborting the
+    stream.
+    """
 
     index: int
     im_A: object
     im_B: object
     warp: object       # (H, W, 4) or (H, 2W, 4) symmetric — model convention
     certainty: object  # matching certainty map
+    error: BaseException | None = None
+
+
+class MatchEngineError(RuntimeError):
+    """A pair failed host preprocessing; names the offending input."""
+
+    def __init__(self, index: int, im_A, im_B, cause: BaseException):
+        def name(x):
+            return x if isinstance(x, str) else type(x).__name__
+
+        super().__init__(
+            f"pair {index} ({name(im_A)!r}, {name(im_B)!r}) failed "
+            f"preprocessing: {cause!r}"
+        )
+        self.index = index
+        self.cause = cause
 
 
 def _prep(im, hw, normalize: bool = True) -> np.ndarray:
@@ -131,29 +152,45 @@ class MatchEngine:
         return coarse_hw, up_hw
 
     def _prep_batch(self, pool: ThreadPoolExecutor, chunk: Sequence[tuple]):
-        """Decode+resize+normalize a chunk of (im_A, im_B) on the pool;
-        returns stacked arrays padded to batch_size."""
+        """Decode+resize+normalize a chunk of ((index, im_A, im_B)) on the
+        pool. Returns ``(ok, failed, batch)``: the pairs that preprocessed,
+        the ``(index, im_A, im_B, exception)`` tuples that did not, and the
+        stacked arrays padded to batch_size (``None`` when nothing survived)."""
         coarse_hw, up_hw = self._resolutions()
-        pad = self.batch_size - len(chunk)
-        padded = list(chunk) + [chunk[-1]] * pad
 
         jobs = []
-        for a, b in padded:
-            jobs.append(pool.submit(_prep, a, coarse_hw, self.normalize))
-            jobs.append(pool.submit(_prep, b, coarse_hw, self.normalize))
+        for _, a, b in chunk:
+            per_pair = [
+                pool.submit(_prep, a, coarse_hw, self.normalize),
+                pool.submit(_prep, b, coarse_hw, self.normalize),
+            ]
             if up_hw is not None:
-                jobs.append(pool.submit(_prep, a, up_hw, self.normalize))
-                jobs.append(pool.submit(_prep, b, up_hw, self.normalize))
-        per = 4 if up_hw is not None else 2
-        outs = [j.result() for j in jobs]
+                per_pair += [
+                    pool.submit(_prep, a, up_hw, self.normalize),
+                    pool.submit(_prep, b, up_hw, self.normalize),
+                ]
+            jobs.append(per_pair)
+
+        ok, failed, outs = [], [], []
+        for pair, per_pair in zip(chunk, jobs):
+            try:
+                outs.append([j.result() for j in per_pair])
+                ok.append(pair)
+            except Exception as e:  # corrupt file, bad shape, IO error, ...
+                failed.append((*pair, e))
+        if not ok:
+            return ok, failed, None
+
+        pad = self.batch_size - len(outs)
+        outs = outs + [outs[-1]] * pad
         batch = {
-            "im_A": np.stack(outs[0::per]),
-            "im_B": np.stack(outs[1::per]),
+            "im_A": np.stack([o[0] for o in outs]),
+            "im_B": np.stack([o[1] for o in outs]),
         }
         if up_hw is not None:
-            batch["im_A_high_res"] = np.stack(outs[2::per])
-            batch["im_B_high_res"] = np.stack(outs[3::per])
-        return batch
+            batch["im_A_high_res"] = np.stack([o[2] for o in outs])
+            batch["im_B_high_res"] = np.stack([o[3] for o in outs])
+        return ok, failed, batch
 
     def _dispatch(self, batch: dict):
         jnp = self._jax.numpy
@@ -175,7 +212,8 @@ class MatchEngine:
     # ------------------------------------------------------------------ #
 
     def match_paths(
-        self, pairs: Iterable[tuple], *, on_host: bool = False
+        self, pairs: Iterable[tuple], *, on_host: bool = False,
+        on_error: str = "raise",
     ) -> Iterator[MatchResult]:
         """Match a stream of (im_A, im_B) pairs (paths, PIL images, or HWC
         arrays — anything ``utils.image.load_image`` takes). Yields
@@ -183,13 +221,22 @@ class MatchEngine:
 
         ``on_host=True`` converts warp/certainty to numpy before yielding
         (one device->host copy per batch, sliced per pair).
+
+        ``on_error`` controls what a corrupt/undecodable input does:
+        ``"raise"`` (default) raises :class:`MatchEngineError` naming the
+        pair; ``"skip"`` keeps the stream alive and yields the failed pair
+        as ``MatchResult(warp=None, certainty=None, error=exc)`` in order.
+        Either way a bad pair never poisons its batch — the surviving pairs
+        of the same chunk still match.
         """
-        pairs = list(pairs)
-        if not pairs:
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+        indexed = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+        if not indexed:
             return
         chunks = [
-            pairs[i : i + self.batch_size]
-            for i in range(0, len(pairs), self.batch_size)
+            indexed[i : i + self.batch_size]
+            for i in range(0, len(indexed), self.batch_size)
         ]
 
         prepped: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -199,7 +246,11 @@ class MatchEngine:
             try:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for chunk in chunks:
-                        prepped.put(self._prep_batch(pool, chunk))
+                        ok, failed, batch = self._prep_batch(pool, chunk)
+                        if failed and on_error == "raise":
+                            idx, a, b, e = failed[0]
+                            raise MatchEngineError(idx, a, b, e)
+                        prepped.put((ok, failed, batch))
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
@@ -208,31 +259,36 @@ class MatchEngine:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        pending: list[tuple[Sequence[tuple], object, object]] = []
-        base = 0
+        # pending: (ok_pairs, failed_pairs, warp, certainty)
+        pending: list[tuple] = []
 
         def drain_one():
-            nonlocal base
-            chunk, warp, certainty = pending.pop(0)
-            if on_host:
+            ok, failed, warp, certainty = pending.pop(0)
+            if on_host and warp is not None:
                 warp = np.asarray(warp)
                 certainty = np.asarray(certainty)
-            for i, (a, b) in enumerate(chunk):
-                yield MatchResult(base + i, a, b, warp[i], certainty[i])
-            base += len(chunk)
+            results = [
+                MatchResult(idx, a, b, warp[i], certainty[i])
+                for i, (idx, a, b) in enumerate(ok)
+            ] + [
+                MatchResult(idx, a, b, None, None, error=e)
+                for idx, a, b, e in failed
+            ]
+            yield from sorted(results, key=lambda r: r.index)
 
-        ci = 0
         while True:
-            batch = prepped.get()
-            if batch is None:
-                if err:
-                    raise err[0]
+            item = prepped.get()
+            if item is None:
                 break
-            warp, certainty = self._dispatch(batch)
-            pending.append((chunks[ci], warp, certainty))
-            ci += 1
+            ok, failed, batch = item
+            warp = certainty = None
+            if batch is not None:
+                warp, certainty = self._dispatch(batch)
+            pending.append((ok, failed, warp, certainty))
             if len(pending) > self.inflight:
                 yield from drain_one()
         while pending:
             yield from drain_one()
         t.join()
+        if err:
+            raise err[0]

@@ -14,11 +14,24 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def load_image(im) -> Image.Image:
-    """str/Path/PIL -> RGB PIL image (reference matcher.py:530-547)."""
+    """str/Path/PIL/HWC array -> RGB PIL image (reference matcher.py:530-547).
+
+    Arrays may be (H, W) grayscale or (H, W, 3|4); float arrays are taken
+    as [0, 1]. Everything lands in RGB like the reference's convert("RGB").
+    """
     if isinstance(im, (str, Path)):
         im = Image.open(im)
+    elif isinstance(im, np.ndarray):
+        x = im
+        if x.ndim not in (2, 3) or (x.ndim == 3 and x.shape[-1] not in (1, 3, 4)):
+            raise ValueError(f"expected (H, W[, 1|3|4]) image array, got {x.shape}")
+        if np.issubdtype(x.dtype, np.floating):
+            x = (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
+        if x.ndim == 3 and x.shape[-1] == 1:
+            x = x[..., 0]
+        im = Image.fromarray(x)
     if not isinstance(im, Image.Image):
-        raise TypeError(f"expected path or PIL image, got {type(im)}")
+        raise TypeError(f"expected path, PIL image, or array, got {type(im)}")
     return im.convert("RGB")
 
 

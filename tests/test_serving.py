@@ -101,3 +101,58 @@ def test_match_engine_tiny():
 
     with pytest.raises(ValueError, match="resize_hw"):
         MatchEngine(model, batch_size=2)
+
+
+def test_match_engine_error_paths(tmp_path):
+    """Corrupt/mistyped inputs: raise mode names the pair; skip mode keeps
+    the stream alive, preserves order, and never poisons the batch."""
+    from roma_tpu.models.zoo import tiny_roma_v1_outdoor
+    from roma_tpu.serving import MatchEngineError
+
+    corrupt = tmp_path / "corrupt.jpg"
+    corrupt.write_bytes(b"\xff\xd8\xff not actually a jpeg")
+
+    model = tiny_roma_v1_outdoor()
+    engine = MatchEngine(model, batch_size=2, resize_hw=(96, 128),
+                         normalize=False, workers=2)
+
+    with pytest.raises(MatchEngineError, match="pair 1 .*corrupt"):
+        list(engine.match_paths([(A, B), (str(corrupt), B)]))
+
+    # skip mode: pairs 0 and 2 share pair 1's batch and must still match
+    results = list(
+        engine.match_paths(
+            [(A, B), (str(corrupt), B), (B, A), (A, "/nonexistent.jpg")],
+            on_error="skip", on_host=True,
+        )
+    )
+    assert [r.index for r in results] == [0, 1, 2, 3]
+    assert results[0].error is None and results[0].warp is not None
+    assert results[2].error is None and results[2].warp is not None
+    assert results[1].warp is None and results[1].error is not None
+    assert isinstance(results[3].error, FileNotFoundError)
+
+    with pytest.raises(ValueError, match="on_error"):
+        list(engine.match_paths([(A, B)], on_error="ignore"))
+
+
+def test_match_engine_array_inputs():
+    """HWC arrays, grayscale, and RGBA all normalize to RGB like the
+    reference's convert('RGB') (matcher.py:530-547)."""
+    from roma_tpu.models.zoo import tiny_roma_v1_outdoor
+    from roma_tpu.serving import MatchEngineError
+
+    rs = np.random.RandomState(0)
+    rgb = rs.rand(64, 80, 3).astype(np.float32)
+    gray = rgb.mean(-1)
+    rgba = np.concatenate([rgb, np.ones((64, 80, 1), np.float32)], -1)
+
+    model = tiny_roma_v1_outdoor()
+    engine = MatchEngine(model, batch_size=2, resize_hw=(96, 128),
+                         normalize=False, workers=2)
+    results = list(engine.match_paths([(rgb, gray), (rgba, rgb)], on_host=True))
+    assert [r.index for r in results] == [0, 1]
+    assert all(r.error is None for r in results)
+
+    with pytest.raises(MatchEngineError, match="pair 0"):
+        list(engine.match_paths([(np.zeros((2, 3, 4, 5)), rgb)]))

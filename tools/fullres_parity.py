@@ -114,7 +114,9 @@ def main():
     bias_np = None
     bias_t = None
     if peaked:
-        bias_np = render_peaked_bias(COARSE // 16, COARSE // 16)
+        # the coarse classifier runs on the stride-14 DINOv2 map stored under
+        # pyramid key 16 (encoders.py:60-67): 560/14 = 40, not 560/16
+        bias_np = render_peaked_bias(COARSE // 14, COARSE // 14)
         bias_t = torch.tensor(bias_np).permute(0, 3, 1, 2)
 
     cache = "/tmp/fullres_torch_peaked.npz" if peaked else "/tmp/fullres_torch.npz"
