@@ -254,6 +254,154 @@ def _fused_cmajor(x, blocks, interpret=False, s_rows=32):
 
 
 # ---------------------------------------------------------------------------
+# packed channel-major kernel — whole-tensor ops instead of per-channel loops
+# ---------------------------------------------------------------------------
+#
+# Hypothesis (round 4): the per-channel fori_loop of _cmajor_kernel is
+# VPU-op-overhead-bound (~890 small (R, WP) vector ops per block-strip), so
+# operating on channel CHUNKS — pltpu.roll on a (cg, R, WP) value rolls each
+# channel's plane independently, per-channel dw weights broadcast as
+# (cg, 1, 1) — should win by issuing ~170 large ops instead.
+#
+# MEASURED NEGATIVE (v5e, 560^2 C=24 9 blocks): packed s16/cg8 75.2 ms vs
+# per-channel s40 55.8 ms — but normalizing halo redundancy (packed only
+# fits s_rows=16: (16+12)/16 = 1.75x vs s40's 52/40 = 1.3x) gives
+# 75.2 * 1.3/1.75 = 55.9 ms: per-useful-row throughput is IDENTICAL. The
+# kernel is VMEM-BANDWIDTH-bound (35 f32 tensor passes per block), not
+# op-overhead-bound, and the packed form's 5 concurrent f32 accumulators
+# push scoped VMEM over 16 MB at s_rows >= 24 (compile OOM), so it cannot
+# buy back the halo amortization. bf16 passes would halve the bytes, but
+# pltpu.roll on bf16 fails Mosaic compilation (sublane (2,1) packing).
+# Kept as a parity-pinned documented experiment; the dispatcher routes the
+# per-channel kernel.
+
+
+def _cmajor_packed_kernel(
+    dwv_ref,  # VMEM (NB, KK*KK, C, 1, 1) f32
+    dbv_ref,  # VMEM (NB, C, 1, 1) f32
+    w2_ref,   # VMEM (NB, C, C) f32, pre-transposed to (out, in)
+    b2v_ref,  # VMEM (NB, C, 1, 1) f32
+    x_ref,    # VMEM (1, 1, C, R, WP) strip with halo, in dtype
+    o_ref,    # VMEM (1, 1, C, S, WP)
+    buf,      # VMEM scratch (C, R, WP) f32
+    *,
+    nb: int,
+    cdim: int,
+    kk: int,
+    s_rows: int,
+    halo: int,
+    h: int,
+    w: int,
+    cg: int,
+):
+    i = pl.program_id(1)
+    p = kk // 2
+    r_rows = x_ref.shape[3]
+    wp = x_ref.shape[4]
+    dt = o_ref.dtype
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r_rows, wp), 0) + (
+        i * s_rows - halo
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r_rows, wp), 1)
+    maskf = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+
+    buf[...] = x_ref[0, 0].astype(jnp.float32)
+
+    for k in range(nb):
+        # depthwise 5x5 + bias + ReLU, channel chunks of cg. Same loop
+        # order as the per-channel kernel (sublane roll per dy shared by
+        # all dx taps, lane rolls deferred): kk + kk roll passes per chunk
+        # instead of kk^2, and bit-identical f32 summation order.
+        for c0 in range(0, cdim, cg):
+            n_c = min(cg, cdim - c0)
+            xc = buf[pl.ds(c0, n_c)]  # (n_c, R, WP) f32
+            acc_v = [None] * kk
+            for u in range(kk):
+                xr = pltpu.roll(xc, (p - u) % r_rows, axis=1)
+                for v in range(kk):
+                    t = xr * dwv_ref[k, u * kk + v, pl.ds(c0, n_c)]
+                    acc_v[v] = t if u == 0 else acc_v[v] + t
+            acc = None
+            for v in range(kk):
+                r = pltpu.roll(acc_v[v], (p - v) % wp, axis=2)
+                acc = r if acc is None else acc + r
+            acc = jnp.maximum(acc + dbv_ref[k, pl.ds(c0, n_c)], 0.0)
+            # round-trip through the io dtype: the per-channel kernel stores
+            # dt between stages, so this stays a bit-exact drop-in for it
+            buf[pl.ds(c0, n_c)] = acc.astype(dt).astype(jnp.float32)
+        # 1x1 over all channels: (C, C) @ (C, R*WP) on the MXU
+        y = jax.lax.dot_general(
+            w2_ref[k], buf[...].reshape(cdim, r_rows * wp),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(cdim, r_rows, wp)
+        y = (y + b2v_ref[k]) * maskf[None]
+        buf[...] = y.astype(dt).astype(jnp.float32)
+
+    out = pltpu.roll(buf[...], (r_rows - halo) % r_rows, axis=1)
+    o_ref[0, 0] = out[:, :s_rows, :].astype(dt)
+
+
+def _fused_cmajor_packed(x, blocks, interpret=False, s_rows=32, cg=8):
+    """x (B, H, W, C) NHWC -> NHWC via the packed kernel; C <= 32."""
+    bsz, h, w, c = x.shape
+    nb = len(blocks)
+    kk = blocks[0]["dw"].shape[0]
+    p = kk // 2
+    halo = p * nb
+    wp = _round_up(w + p, 128)
+    s_rows = min(s_rows, _round_up(h, 8))
+    n = -(-h // s_rows)
+    r_rows = s_rows + 2 * halo
+
+    xt = jnp.transpose(x, (0, 3, 1, 2))  # (B, C, H, W)
+    xpad = jnp.zeros((bsz, c, n * s_rows + 2 * halo, wp), x.dtype)
+    xpad = jax.lax.dynamic_update_slice(xpad, xt, (0, 0, halo, 0))
+    strips = jnp.stack(
+        [xpad[:, :, i * s_rows : i * s_rows + r_rows, :] for i in range(n)],
+        axis=1,
+    )  # (B, n, C, R, WP)
+
+    dwv = jnp.stack([b["dw"] for b in blocks])  # (NB, K, K, C)
+    dwv = dwv.transpose(0, 3, 1, 2).reshape(nb, c, kk * kk)
+    dwv = dwv.transpose(0, 2, 1)[..., None, None]  # (NB, KK*KK, C, 1, 1)
+    dbv = jnp.stack([b["db"] for b in blocks])[..., None, None]
+    w2 = jnp.stack([b["w2"].T for b in blocks])  # (NB, C_out, C_in)
+    b2v = jnp.stack([b["b2"] for b in blocks])[..., None, None]
+
+    kern = functools.partial(
+        _cmajor_packed_kernel,
+        nb=nb, cdim=c, kk=kk, s_rows=s_rows, halo=halo, h=h, w=w, cg=cg,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, c, r_rows, wp),
+                lambda b, i: (b, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, c, s_rows, wp),
+            lambda b, i: (b, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, c, s_rows, wp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((c, r_rows, wp), jnp.float32)],
+        interpret=interpret,
+    )(dwv, dbv, w2, b2v, strips)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(bsz, c, n * s_rows, wp)
+    return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
 # lane-major kernel (C > 32) — parity-tested, NOT routed (negative result)
 # ---------------------------------------------------------------------------
 #

@@ -50,6 +50,27 @@ def test_fused_refiner_stack_matches_reference(c, h, w, nb):
 
 
 @pytest.mark.parametrize(
+    "c,h,w,nb,cg",
+    [
+        (24, 18, 22, 3, 8),   # chunk divides C
+        (24, 40, 31, 3, 7),   # ragged last chunk
+        (9, 33, 40, 2, 8),    # C < chunk (s1 proj width)
+    ],
+)
+def test_packed_cmajor_bitexact_vs_cmajor(c, h, w, nb, cg):
+    """The packed (channel-chunk whole-tensor) kernel is a bit-exact drop-in
+    for the per-channel cmajor kernel: same strip layout, same f32 summation
+    order, same io-dtype round-trips between stages."""
+    rs = np.random.RandomState(3)
+    blocks = _blocks(c, nb)
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rs.randn(2, h, w, c), dt)
+        old = pr._fused_cmajor(x, blocks, interpret=True)
+        got = pr._fused_cmajor_packed(x, blocks, interpret=True, cg=cg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(old))
+
+
+@pytest.mark.parametrize(
     "c,h,w,nb",
     [
         (40, 14, 19, 2),   # pads to 128 lanes

@@ -73,13 +73,13 @@ def block(x, k, b, s, t, w2, b2, dw):
 
 
 def timeit(fn, *args, iters=20):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else fn(
-        *args
-    ).block_until_ready()
+    # block_until_ready does not barrier through the axon tunnel; a scalar
+    # readback does (same pattern as tools/tpu_session.py int8 probe)
+    float(jnp.sum(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    (r[0] if isinstance(r, tuple) else r).block_until_ready()
+    float(jnp.sum(r))
     return (time.perf_counter() - t0) / iters * 1e3
 
 

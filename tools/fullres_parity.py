@@ -93,6 +93,13 @@ def flow_stats(a, b, res):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     peaked = "--peaked" in sys.argv[1:]
+    if "--cpu" in sys.argv[1:]:
+        # the tunnel's chipless AOT helper can refuse the ~57 MB f32-highest
+        # full-dims program (HTTP 500); XLA:CPU is a slower but sturdier
+        # machinery pin (same backend class as the torch side)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     phase = args[0] if args else "all"
     torch.manual_seed(0)
     spec = trp.RoMaSpec().eval()

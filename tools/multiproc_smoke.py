@@ -113,7 +113,14 @@ def parent():
             "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
         ],
         cwd=ROOT,
-        env={**env, "JAX_PLATFORMS": "cpu"},
+        # device count must be fixed before backend init (dryrun_multichip
+        # can only update jax_num_cpu_devices pre-first-jax-op)
+        env={
+            **env,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8",
+        },
         capture_output=True, text=True, timeout=1800,
     )
     print(single.stdout)

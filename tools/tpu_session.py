@@ -170,6 +170,73 @@ def int8_e2e():
 
 
 # ------------------------------------------------------------------ 7
+@step("cmajor-packed-bench")
+def cmajor_packed_bench():
+    # packed (channel-chunk whole-tensor) vs per-channel cmajor kernel at
+    # the scale-1 refiner shapes (C=24, 9 folded blocks, g=3 chunking).
+    import time
+
+    import numpy as np
+
+    from roma_tpu.ops import pallas_refiner as pr
+
+    rs = np.random.RandomState(0)
+    for hw in (560, 864):
+        c = 24
+        x = jnp.asarray(rs.randn(16, hw, hw, c), jnp.bfloat16)
+        blocks = [
+            dict(
+                dw=jnp.asarray(rs.randn(5, 5, c), jnp.float32) * 0.2,
+                db=jnp.asarray(rs.randn(c), jnp.float32) * 0.1,
+                w2=jnp.asarray(rs.randn(c, c), jnp.float32) / np.sqrt(c),
+                b2=jnp.asarray(rs.randn(c), jnp.float32) * 0.1,
+            )
+            for _ in range(9)
+        ]
+
+        def run_old(x):
+            y = x
+            for i in range(0, 9, 3):
+                y = pr._fused_cmajor(y, blocks[i : i + 3], s_rows=40)
+            return y
+
+        def make_packed(s_rows, cg):
+            def run(x):
+                y = x
+                for i in range(0, 9, 3):
+                    y = pr._fused_cmajor_packed(
+                        y, blocks[i : i + 3], s_rows=s_rows, cg=cg
+                    )
+                return y
+            return run
+
+        fns = [("old s40", jax.jit(run_old))]
+        for s_rows in (16, 24, 32):
+            for cg in (8, 24):
+                fns.append(
+                    (f"packed s{s_rows} cg{cg}", jax.jit(make_packed(s_rows, cg)))
+                )
+        ref = None
+        for name, f in fns:
+            try:
+                o = f(x)
+                float(jnp.sum(o))
+                if ref is None:
+                    ref = o
+                else:
+                    d = float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref.astype(jnp.float32))))
+                    assert d < 1e-2, (name, d)
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    o = f(x)
+                float(jnp.sum(o))
+                dt = (time.perf_counter() - t0) / 10
+                print(f"  {hw}^2 C=24 9blk {name}: {dt*1e3:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  {hw}^2 C=24 9blk {name}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
+
+
 @step("serving-engine-throughput")
 def serving_engine():
     # End-to-end pair-stream throughput THROUGH MatchEngine (real JPEG
