@@ -59,9 +59,18 @@ cfg = RoMaConfig()
 proj = dict(cfg.proj_out)
 rad = dict(cfg.corr_radius)
 
-# (scale, res) pairs for both passes
-COARSE = [(16, 35), (8, 70), (4, 140), (2, 280), (1, 560)]
-UP = [(8, 108), (4, 216), (2, 432), (1, 864)]
+# (scale, res) pairs for both passes. Default = the 560->864 bench config
+# (bs8 symmetric -> decoder batch 16); `--golden` switches to the 672->1344
+# Mega-1500 eval config (bs4 symmetric -> decoder batch 8,
+# reference experiments/eval_roma_outdoor.py:50-56).
+if "--golden" in sys.argv:
+    sys.argv.remove("--golden")
+    B = 8
+    COARSE = [(16, 42), (8, 84), (4, 168), (2, 336), (1, 672)]
+    UP = [(8, 168), (4, 336), (2, 672), (1, 1344)]
+else:
+    COARSE = [(16, 35), (8, 70), (4, 140), (2, 280), (1, 560)]
+    UP = [(8, 108), (4, 216), (2, 432), (1, 864)]
 
 
 def group_gather():
