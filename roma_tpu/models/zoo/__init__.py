@@ -103,7 +103,13 @@ def _roma_model(
     amp: bool = True,
     vit_int8: bool = False,
     refiner_int8: bool = False,
-    vit_gelu_tanh: bool = False,
+    # Default ON when amp: tanh-GELU's max |d gelu| ~3e-4 sits BELOW the
+    # bf16 activation rounding (~4e-3 at unit scale) the amp path already
+    # accepts, and far below the fp16 autocast error of the reference's own
+    # production config (matcher.py:296-309 runs these MLPs in fp16).
+    # Measured ~44 ms/batch on the 560->864 e2e. vit_gelu_tanh=False forces
+    # exact erf (used automatically when amp=False for f32-exact runs).
+    vit_gelu_tanh: bool | None = None,
     config: RoMaConfig | None = None,
     variant: str | None = None,
 ) -> RegressionMatcher:
@@ -121,6 +127,8 @@ def _roma_model(
     if isinstance(upsample_res, int):
         upsample_res = (upsample_res, upsample_res)
     config = config or RoMaConfig()
+    if vit_gelu_tanh is None:
+        vit_gelu_tanh = amp
     if vit_int8 or refiner_int8 or vit_gelu_tanh:
         config = dataclasses.replace(
             config,
