@@ -1,0 +1,356 @@
+"""Lane-packed windowed warp sampler (v3) — the scale-1 x_hat lookup.
+
+The plain corner-packed gather (ops/grid_sample.py) is byte-lean (~70
+B/query at C=9 bf16) but runs at XLA:TPU's per-row gather ceiling, and
+collapses further once the packed table leaves the fast regime: measured
+36 ms at 560^2 bs16 but 196 ms at 864^2 and 345 ms at 1344^2 — the
+single biggest line in both production configs.  The v1/v2 windowed
+samplers lost because their window fetch was itself an XLA gather paying
+640-1280 B/query (ops/window_warp.py warp_sample notes).  v3 removes
+gathers from the whole path:
+
+  1. **Channels ride the lanes, rows ride the sublanes.**  The feature
+     map (C <= 16; scale 1 has proj_out = 9) pads to CP = 128/XQ
+     channels and reshapes — a FREE row-major reshape, no transpose —
+     to ``(B, Hp/RB, RB, NJ*128)``: trailing dims (RB, 128-multiple)
+     are exactly native tiles.
+  2. **Per-tile in-kernel DMA**, double-buffered, origins scalar-
+     prefetched.  The y-origin slices a *leading* dim (row-blocks); the
+     x-origin slices the *lane* dim at ``jx * 128`` — the multiply
+     happens inside the kernel so Mosaic can PROVE 128-divisibility
+     (a raw prefetched byte offset fails its divisibility check).
+     Each 16x16-query tile fetches its (WH x NS*8px x CP) window as one
+     strided sequential copy (~40-80 KB) instead of wh*ns gathered rows.
+  3. **Factored bilinear extraction on the MXU.**  One 0/1 one-hot dot
+     per x-segment folds BOTH y-corners ((WH, 128)^T @ (WH, 2T)); the
+     x-corners are an iota-compare mask + middle-axis reduce.  0/1
+     selectors and bf16 texels are exact; all combines run in f32, the
+     same arithmetic as the plain gather's 4-corner f32 combine.
+  4. **Nothing per-tile outside the kernel.**  Round-4 attribution of
+     the first build (560^2 bs16: fixup tap gathers 82 ms, bad-tile
+     recompute 18 ms, table transpose 11 ms, per-tile compaction 6 ms —
+     vs 17 ms of kernel) moved every fixed cost off the per-tile axis:
+     fixup slots exist only for tiles that NEED them (cumsum-compacted
+     tile slots; the kernel's fix-map block is indexed by a scalar-
+     prefetched slot id, slot 0 = shared zero sentinel), the bad-tile
+     budget no longer scales with tile count, and the lane-packed table
+     needs no data movement at all beyond the channel pad.
+
+Planning (bounded-influence origins, needs-fix = out-of-window AND
+touching the image) is shared with v2 (tile_window._plan).  Exactness:
+in-window queries are exact one-hot extractions over the zero-padded
+window; out-of-window queries touching the image get exact 4-tap values
+via their tile's fix-map slot; fully-out-of-image queries are 0; tiles
+with more than ``kf`` fixable misses (up to ``nt_bad`` of them) are
+recomputed exactly; beyond that — or when more than ``ntfix`` tiles
+need fixing — a ``lax.cond`` routes the WHOLE call to the plain gather,
+so results are exact for every input and the Pallas work only runs on
+the smooth warps it is built for.
+
+Reference semantics replaced: the scale-1 x_hat warp lookup,
+/root/reference/romatch/models/matcher.py:132 (F.grid_sample bilinear,
+zeros padding, align_corners=False).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_sample import grid_sample
+from .tile_window import WarpSpec, _exact_taps, _plan
+from .window_warp import _compact_miss
+
+
+@dataclass(frozen=True)
+class LaneSpec:
+    th: int = 16       # query tile height
+    tw: int = 16       # query tile width
+    wh: int = 64       # window rows (must be a multiple of the row-block)
+    xq: int = 8        # x segment width in px (xq * cp = 128 lanes)
+    ns: int = 5        # segments per window; window cols = ns * xq px
+    pm: int = 16       # zero-pad margin (>= 1 for the bilinear halo)
+    kf: int = 16       # fixup slots per needs-fix tile
+    ntfix_div: int = 8  # fixup tile slots = max(64, bnt // ntfix_div)
+    nt_bad: int = 64   # over-budget tiles recomputed exactly (fixed)
+
+    @property
+    def t(self) -> int:
+        return self.th * self.tw
+
+    @property
+    def ww(self) -> int:
+        return self.ns * self.xq
+
+    @property
+    def cp(self) -> int:
+        return 128 // self.xq
+
+
+def _row_block(dtype) -> int:
+    """Native sublane tile: 16 rows bf16, 8 rows f32 — the table's
+    trailing dims (RB, lanes) must tile exactly so the DMA's sliced dims
+    stay Mosaic-legal."""
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+def _lane_kernel(
+    oyb_s, jx_s, img_s, slot_s,          # scalar-prefetched per-tile
+    flds_ref,                            # VMEM (1, 4, T) f32 [yl|fy|xl|fx]
+    fix_ref,                             # VMEM (1, CP, T) f32 fix map
+    tab_ref,                             # ANY (B, HPB, RB, NJ*128)
+    o_ref,                               # VMEM (1, CP, T)
+    win, sems,                           # scratch
+    *, spec: LaneSpec, rb: int,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    wh, xq, ns, t, cp = spec.wh, spec.xq, spec.ns, spec.t, spec.cp
+    nrb = wh // rb
+    nsl = ns * 128
+    f32 = jnp.float32
+    slot = jax.lax.rem(i, 2)
+
+    # y slices a leading dim; x slices the lanes at jx*128 — multiplied
+    # HERE so Mosaic can prove the 128-divisibility of the lane offset
+    def start(ti, sl):
+        pltpu.make_async_copy(
+            tab_ref.at[
+                img_s[ti], pl.ds(oyb_s[ti], nrb), :, pl.ds(jx_s[ti] * 128, nsl)
+            ],
+            win.at[sl],
+            sems.at[sl],
+        ).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(i, slot)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start(i + 1, 1 - slot)
+
+    pltpu.make_async_copy(
+        tab_ref.at[0, pl.ds(0, nrb), :, pl.ds(0, nsl)], win.at[slot], sems.at[slot]
+    ).wait()
+
+    ff = flds_ref[0]                     # (4, T) f32
+    yl = ff[0:1].astype(jnp.int32)       # window-local rows
+    fy = ff[1:2]
+    xl = ff[2:3].astype(jnp.int32)       # window-local px
+    fx = ff[3:4]
+
+    wv = win[slot].reshape(wh, nsl)      # (NRB, RB, NSL): leading merge
+
+    # both y-corner 0/1 selectors in ONE dot per segment: (WH, 2T)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (wh, t), 0)
+    myc = jnp.concatenate(
+        [(ri == yl).astype(wv.dtype), (ri == yl + 1).astype(wv.dtype)], axis=1
+    )
+
+    acc = jnp.zeros((cp, t), f32)
+    for s in range(ns):
+        w_s = wv[:, s * 128 : (s + 1) * 128]
+        r = jax.lax.dot_general(
+            w_s, myc, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # (128, 2T)
+        tm = r[:, :t] * (1.0 - fy) + r[:, t:] * fy
+        tm3 = tm.reshape(xq, cp, t)      # leading split only
+        ci = jax.lax.broadcasted_iota(jnp.int32, (xq, t), 0) + s * xq
+        sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
+            ci == xl + 1, fx, 0.0
+        )
+        acc = acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
+
+    ok = (yl >= 0) & (yl <= wh - 2) & (xl >= 0) & (xl <= spec.ww - 2)
+    o_ref[0] = (jnp.where(ok, acc, 0.0) + fix_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def lane_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    spec: LaneSpec = LaneSpec(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact ``grid_sample(x, flow)`` (bilinear, zeros, align_corners=False)
+    via the lane-packed windowed kernel.  x (B, H, W, C<=128/xq); flow
+    (B, Hq, Wq, 2) in [-1, 1].  Falls back to the plain gather for small
+    images or when the warp overflows the budgets.
+    """
+    b, h, w, c = x.shape
+    th, tw, wh, xq, ns, pm, kf = (
+        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf
+    )
+    ww, cp = spec.ww, spec.cp
+    rb = _row_block(x.dtype)
+    if c > cp or wh % rb:
+        return grid_sample(x, flow)
+
+    hp = h + 2 * pm
+    wpx = -(-(w + 2 * pm) // xq) * xq
+    if hp < wh or wpx < ww + xq:
+        return grid_sample(x, flow)   # image smaller than a window
+
+    # planning shared with the v2 sampler (identical field meanings;
+    # y-origins quantized to row-blocks for the tile-aligned DMA)
+    pspec = WarpSpec(th=th, tw=tw, wh=wh, xq=xq, ns=ns, pm=pm, kf=kf)
+    p = _plan(flow, h, w, pspec, oy_quant=rb)
+    bnt = b * p["nt"]
+
+    counts = p["counts"].reshape(bnt)
+    ntfix = min(bnt, max(64, bnt // spec.ntfix_div))
+    n_miss_tiles = jnp.sum(counts > 0)
+    n_over = jnp.sum(counts > kf)
+
+    def windowed_branch(_):
+        return _lane_warp_compute(
+            x, flow, spec, rb, p, counts, ntfix, interpret
+        )
+
+    def plain_branch(_):
+        return grid_sample(x, flow)
+
+    return jax.lax.cond(
+        (n_over <= spec.nt_bad) & (n_miss_tiles <= ntfix),
+        windowed_branch, plain_branch, None,
+    )
+
+
+def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
+    b, h, w, c = x.shape
+    th, tw, wh, xq, ns, pm, kf = (
+        spec.th, spec.tw, spec.wh, spec.xq, spec.ns, spec.pm, spec.kf
+    )
+    t, cp = spec.t, spec.cp
+    nt, nh, nw, njq = p["nt"], p["nh"], p["nw"], p["njq"]
+    bnt = b * nt
+    hq, wq = p["hq"], p["wq"]
+    f32 = jnp.float32
+
+    hp = h + 2 * pm
+    hpb = -(-hp // rb)
+    wpx = njq * xq
+
+    # lane-packed table: channel pad + spatial pad + FREE reshape (the
+    # trailing (RB, NJ*128) dims are native tiles; no transpose anywhere)
+    xc = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))) if cp != c else x
+    xp = jnp.pad(
+        xc, ((0, 0), (pm, hpb * rb - h - pm), (pm, wpx - w - pm), (0, 0))
+    )
+    table = xp.reshape(b, hpb, rb, njq * 128)
+
+    # ---- fixup slots only for tiles that need them ----------------------
+    # slot assignment by cumsum (slot 0 = zero sentinel shared by every
+    # clean tile); tiles beyond ntfix fall to the plain branch upstream.
+    tilemiss = counts > 0
+    order = jnp.cumsum(tilemiss.astype(jnp.int32)) - 1        # (bnt,)
+    tile_ids = jnp.arange(bnt, dtype=jnp.int32)
+    slotmap = jnp.where(tilemiss & (order < ntfix), order + 1, 0)
+    # slot -> tile (out-of-range scatter indices are dropped by XLA)
+    starget = jnp.where(tilemiss & (order < ntfix), order, ntfix)
+    sel_t = jnp.zeros((ntfix,), jnp.int32).at[starget].set(tile_ids)
+
+    # per-slot query compaction + exact 4-tap values
+    nf_s = jnp.take(p["needfix"].reshape(bnt, t), sel_t, axis=0)
+    fpos = _compact_miss(
+        nf_s.reshape(ntfix, 1, t), t, kf, interpret=interpret
+    )  # (ntfix, KF, 1), sentinel t
+    sel_q = jnp.minimum(fpos[:, :, 0], t - 1)
+    x_flat = x.reshape(b * h * w, c)
+    img_rows_s = (sel_t // nt * (h * w))[:, None]
+
+    def tap_at(src_t):
+        rows = jnp.take(src_t.reshape(bnt, t), sel_t, axis=0)
+        return jnp.take_along_axis(rows, sel_q, axis=1)
+
+    fval = _exact_taps(
+        x_flat, img_rows_s, tap_at(p["y0t"]), tap_at(p["x0t"]),
+        tap_at(p["fyt"]), tap_at(p["fxt"]), h, w, c,
+    )  # (ntfix, KF, C)
+
+    # fix map: the kernel adds fix_ref[slot] — slot 0 is the zero sentinel
+    onehot = (
+        fpos == jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+    ).astype(f32)  # (ntfix, KF, T); sentinel t never matches
+    fix = jnp.einsum(
+        "skc,skt->sct", fval, onehot, preferred_element_type=f32
+    )
+    if cp != c:
+        fix = jnp.pad(fix, ((0, 0), (0, cp - c), (0, 0)))
+    fixmap = jnp.concatenate([jnp.zeros((1, cp, t), f32), fix], axis=0)
+
+    # packed per-tile fields: one (4, T) f32 block (yl/xl exact in f32)
+    flds = jnp.stack(
+        [
+            p["yl"].reshape(bnt, t).astype(f32),
+            p["fyt"].reshape(bnt, t).astype(f32),
+            p["xl"].reshape(bnt, t).astype(f32),
+            p["fxt"].reshape(bnt, t).astype(f32),
+        ],
+        axis=1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bnt,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, cp, t),
+                lambda i, oyb, jx, img, sm: (sm[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cp, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wh // rb, rb, ns * 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_lane_kernel, spec=spec, rb=rb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bnt, cp, t), x.dtype),
+        interpret=interpret,
+    )(
+        (p["oy"].reshape(bnt) // rb).astype(jnp.int32),
+        p["jx"].reshape(bnt).astype(jnp.int32),
+        (jnp.arange(bnt, dtype=jnp.int32) // nt),
+        slotmap.astype(jnp.int32),
+        flds,
+        fixmap,
+        table,
+    )
+
+    # bounded exact recompute of over-budget tiles (fixed budget — over
+    # nt_bad of them routes the whole call to the plain branch upstream)
+    nt_bad = min(spec.nt_bad, bnt)
+    bad_c, bad_i = jax.lax.top_k(counts, nt_bad)
+    img_rows_b = (bad_i // nt * (h * w))[:, None]
+    vals_b = _exact_taps(
+        x_flat, img_rows_b,
+        jnp.take(p["y0t"].reshape(bnt, t), bad_i, axis=0),
+        jnp.take(p["x0t"].reshape(bnt, t), bad_i, axis=0),
+        jnp.take(p["fyt"].reshape(bnt, t), bad_i, axis=0),
+        jnp.take(p["fxt"].reshape(bnt, t), bad_i, axis=0),
+        h, w, c,
+    )
+    if cp != c:
+        vals_b = jnp.pad(vals_b, ((0, 0), (0, 0), (0, cp - c)))
+    vals_b = jnp.swapaxes(vals_b, 1, 2).astype(x.dtype)  # (nt_bad, CP, T)
+    keep = (bad_c > kf)[:, None, None]
+    merged = jnp.where(keep, vals_b, jnp.take(out, bad_i, axis=0))
+    out = out.at[bad_i].set(merged)
+
+    out = out.reshape(b, nh, nw, cp, th, tw).transpose(0, 1, 4, 2, 5, 3)
+    return out.reshape(b, nh * th, nw * tw, cp)[:, :hq, :wq, :c]

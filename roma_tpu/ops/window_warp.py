@@ -403,29 +403,35 @@ def windowed_grid_sample(
 def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
     """Dispatcher for the matcher's x_hat lookup (matcher.py:213).
 
-    CLOSED as a negative result in round 3: the plain gather stays.
+    TPU inference at the scale-1 shapes (C <= 16, big maps) routes to the
+    v3 lane-packed windowed kernel (ops/lane_warp.py): channels packed
+    along the lanes, per-tile sequential in-kernel DMA instead of the
+    per-row gather. Everything else — training (needs gradients), wide
+    channels, small maps, CPU — stays on the plain gather.
 
-    The windowed one-hot samplers (this module's v1 and
-    tile_window.windowed_warp v2 — exact, parity-tested, with per-tile
-    fixup budgets and bounded bad-tile recompute) cannot beat the plain
-    gather at the scale-1 shapes, for a structural reason the round-2
-    estimate missed: a bilinear query needs only ONE packed-corner table
-    row (~70 B) from the plain gather, so the gather is already
-    byte-lean; any windowed scheme pays window-area duplication on top.
-    Measured on v5e at 864^2 C=9 bs16 (plain gather: 192 ms):
-
-      * 64^2-query tiles (duplication ~6x, 120 B/query): best case
-        ~120-160 ms on smooth warps, but adversarial warps (off-image
-        bands, speckle outliers) concentrate ~160 fixable misses/tile,
-        blow every per-tile budget, and trip the whole-batch fallback ->
-        835-975 ms.
-      * 16^2-query tiles (budget-robust like the corr kernel): window
-        fetch alone is 640 B/query = 7.6 GB/batch -> 546 ms.
-
-    The windowed formulation wins where the baseline gathers MANY bytes
-    per query — the (2r+2)^2-tap local correlation (2.6-4.3x, see
-    tile_window.windowed_local_corr) — not where it gathers one row.
-    ``inference`` is kept for signature stability.
+    History: v1 (this module) and v2 (tile_window.windowed_warp) LOST to
+    the plain gather because their window fetch was itself an XLA gather
+    paying 640-1280 B/query of window-area duplication against the packed
+    gather's ~70 B/query (measured v5e, 864^2 C=9 bs16: 546-975 ms vs
+    192 ms). v3 removes the gather from the window fetch entirely — the
+    (B, Hp/RB, NJ, RB, 128) lane-packed table is DMA-sliced per tile at
+    streaming bandwidth, the regime where window duplication is ~free.
+    ``ROMA_DISABLE_TILE_WINDOW=1`` reverts to the plain gather (shared
+    escape hatch with the windowed local correlation).
     """
-    del inference
+    from .local_corr import _windowed_disabled
+
+    b, h, w, c = y.shape
+    n = flow.shape[1] * flow.shape[2]
+    if (
+        inference
+        and not _windowed_disabled()
+        and c <= 16
+        and n >= 500_000
+        and y.dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() == "tpu"
+    ):
+        from .lane_warp import lane_warp
+
+        return lane_warp(y, flow)
     return grid_sample(y, flow)
