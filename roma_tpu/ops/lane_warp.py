@@ -99,13 +99,14 @@ def _row_block(dtype) -> int:
 
 
 def _lane_kernel(
-    oyb_s, jx_s, img_s, slot_s,          # scalar-prefetched per-tile
+    pk_s,                                # scalar-prefetched per-tile i32:
+                                         #   slot<<16 | oyb<<8 | jx
     flds_ref,                            # VMEM (1, 4, T) f32 [yl|fy|xl|fx]
     fix_ref,                             # VMEM (1, CP, T) f32 fix map
     tab_ref,                             # ANY (B, HPB, RB, NJ*128)
     o_ref,                               # VMEM (1, CP, T)
     win, sems,                           # scratch
-    *, spec: LaneSpec, rb: int,
+    *, spec: LaneSpec, rb: int, nt: int,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -116,11 +117,20 @@ def _lane_kernel(
     slot = jax.lax.rem(i, 2)
 
     # y slices a leading dim; x slices the lanes at jx*128 — multiplied
-    # HERE so Mosaic can prove the 128-divisibility of the lane offset
+    # HERE so Mosaic can prove the 128-divisibility of the lane offset.
+    # The origins ride ONE packed i32/tile: four s32[bnt] prefetch arrays
+    # overflowed the 1 MB SMEM at 1344^2 (112k tiles = 4 x 444 KB); the
+    # image index is i // nt (arithmetic, no array at all) and
+    # slot/oyb/jx unpack with shift+mask (masking makes the arithmetic
+    # shift sign-safe).
     def start(ti, sl):
+        pk = pk_s[ti]
         pltpu.make_async_copy(
             tab_ref.at[
-                img_s[ti], pl.ds(oyb_s[ti], nrb), :, pl.ds(jx_s[ti] * 128, nsl)
+                ti // nt,
+                pl.ds((pk >> 8) & 0xFF, nrb),
+                :,
+                pl.ds((pk & 0xFF) * 128, nsl),
             ],
             win.at[sl],
             sems.at[sl],
@@ -195,6 +205,11 @@ def lane_warp(
     wpx = -(-(w + 2 * pm) // xq) * xq
     if hp < wh or wpx < ww + xq:
         return grid_sample(x, flow)   # image smaller than a window
+    # packed-scalar width limits (slot:16 | oyb:8 | jx:8 in one i32):
+    # row-block origins need <= 8 bits (images up to ~4000 px at rb=16),
+    # x segment origins <= 8 bits (~2000 px wide)
+    if (-(-hp // rb)) - wh // rb > 0xFF or wpx // xq - ns > 0xFF:
+        return grid_sample(x, flow)
 
     # planning shared with the v2 sampler (identical field meanings;
     # y-origins quantized to row-blocks for the tile-aligned DMA)
@@ -204,6 +219,8 @@ def lane_warp(
 
     counts = p["counts"].reshape(bnt)
     ntfix = min(bnt, max(64, bnt // spec.ntfix_div))
+    if ntfix > 0xFFFF:
+        return grid_sample(x, flow)   # slot id must fit 16 packed bits
     n_miss_tiles = jnp.sum(counts > 0)
     n_over = jnp.sum(counts > kf)
 
@@ -295,8 +312,16 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
         axis=1,
     )
 
+    # one packed i32 per tile (slot:16 | oyb:8 | jx:8) — the width guards
+    # are static in lane_warp, so the pack never truncates
+    packed = (
+        (slotmap.astype(jnp.int32) << 16)
+        | ((p["oy"].reshape(bnt) // rb).astype(jnp.int32) << 8)
+        | p["jx"].reshape(bnt).astype(jnp.int32)
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=1,
         grid=(bnt,),
         in_specs=[
             pl.BlockSpec(
@@ -304,7 +329,7 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
             ),
             pl.BlockSpec(
                 (1, cp, t),
-                lambda i, oyb, jx, img, sm: (sm[i], 0, 0),
+                lambda i, pk: ((pk[i] >> 16) & 0xFFFF, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -318,15 +343,12 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_lane_kernel, spec=spec, rb=rb),
+        functools.partial(_lane_kernel, spec=spec, rb=rb, nt=nt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bnt, cp, t), x.dtype),
         interpret=interpret,
     )(
-        (p["oy"].reshape(bnt) // rb).astype(jnp.int32),
-        p["jx"].reshape(bnt).astype(jnp.int32),
-        (jnp.arange(bnt, dtype=jnp.int32) // nt),
-        slotmap.astype(jnp.int32),
+        packed,
         flds,
         fixmap,
         table,
