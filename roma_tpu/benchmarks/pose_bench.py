@@ -112,12 +112,21 @@ def evaluate_matched_pair(
     sample_n: int = 5000,
     pixel_offset: float = 0.0,
     double_final_repeat: bool = False,
+    sample_key=None,
 ):
-    """Sample/estimate ``repeats`` times from one pair's dense match."""
+    """Sample/estimate ``repeats`` times from one pair's dense match.
+
+    ``sample_key``: per-pair PRNG key; the benchmark owns the sampling RNG
+    (folded per repeat) so results are reproducible regardless of the model
+    instance's call history. ``None`` falls back to the model's stateful
+    key stream."""
+    import jax
+
     (h1, w1), (h2, w2) = pair.hw_A, pair.hw_B
     e_t = e_R = 90.0
     for rep in range(repeats):
-        sparse, _ = model.sample(warp, certainty, sample_n)
+        k = None if sample_key is None else jax.random.fold_in(sample_key, rep)
+        sparse, _ = model.sample(warp, certainty, sample_n, key=k)
         kpts1, kpts2 = model.to_pixel_coordinates(sparse, h1, w1, h2, w2)
         kpts1 = np.asarray(kpts1) - pixel_offset
         kpts2 = np.asarray(kpts2) - pixel_offset
@@ -177,8 +186,16 @@ def run_pose_benchmark(
     progress: bool = True,
 ) -> dict[str, float]:
     """Run the full benchmark; ``batch_size``/``mesh`` enable the batched
-    (and ICI-sharded) match phase."""
+    (and ICI-sharded) match phase.
+
+    The benchmark owns all randomness: ``seed`` drives both the keypoint
+    permutation and the per-(pair, repeat) sampling keys, so two runs over
+    the same model object produce identical match sets (the reference's
+    stochastic-eval caveat, README.md:149-152, minus the statefulness)."""
+    import jax
+
     rng = np.random.default_rng(seed)
+    root_key = jax.random.PRNGKey(seed)
     errors = PoseErrors()
     matched = (
         match_pairs_batched(model, pairs, batch_size, mesh=mesh)
@@ -189,10 +206,11 @@ def run_pose_benchmark(
         from tqdm import tqdm
 
         matched = tqdm(matched, total=len(pairs))
-    for pair, warp, certainty in matched:
+    for i, (pair, warp, certainty) in enumerate(matched):
         evaluate_matched_pair(
             model, pair, warp, certainty, errors, rng,
             estimator=estimator, repeats=repeats, sample_n=sample_n,
             pixel_offset=pixel_offset, double_final_repeat=double_final_repeat,
+            sample_key=jax.random.fold_in(root_key, i),
         )
     return errors.summary()

@@ -219,11 +219,18 @@ class RegressionMatcher:
             return warp[0], certainty[0]
         return warp, certainty
 
-    def sample(self, matches, certainty, num: int = 10000):
+    def sample(self, matches, certainty, num: int = 10000, key=None):
+        """Balanced sparse sampling (reference matcher.py:552-573).
+
+        ``key``: explicit PRNG key for reproducible sampling — pass one per
+        (pair, repeat) in benchmarks so results don't depend on the model
+        instance's call history. Default: the instance's stateful key stream
+        (matches the reference's global-torch-RNG behavior)."""
         m = jnp.asarray(matches).reshape(-1, 4)
         c = jnp.asarray(certainty).reshape(-1)
         return balanced_sample(
-            self._next_key(), m, c, num, thresh=self.sample_thresh, mode=self.sample_mode
+            key if key is not None else self._next_key(),
+            m, c, num, thresh=self.sample_thresh, mode=self.sample_mode,
         )
 
     @staticmethod

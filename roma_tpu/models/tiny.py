@@ -256,12 +256,16 @@ class TinyRoMa:
             return warp, cert
         return warp[0], cert[0]
 
-    def sample(self, matches, certainty, num: int = 5000):
-        """Threshold-balanced sparse sampling (reference tiny.py:234-264)."""
+    def sample(self, matches, certainty, num: int = 5000, key=None):
+        """Threshold-balanced sparse sampling (reference tiny.py:234-264).
+
+        ``key``: explicit PRNG key for reproducible sampling (benchmarks own
+        the seed); default falls back to the instance key stream."""
         m = jnp.asarray(matches).reshape(-1, 4)
         c = jnp.asarray(certainty).reshape(-1)
         return balanced_sample(
-            self._next_key(), m, c, num, thresh=self.sample_thresh, mode=self.sample_mode
+            key if key is not None else self._next_key(),
+            m, c, num, thresh=self.sample_thresh, mode=self.sample_mode,
         )
 
     @staticmethod

@@ -74,6 +74,40 @@ def nonfinite_grad_names(params, grad_finite_mask) -> list[str]:
     ]
 
 
+def ema_decay_schedule(decay: float, step):
+    """Warmup-ramped EMA decay: ``min(decay, (1+t)/(10+t))`` (timm-style).
+
+    A plain ``decay*ema + (1-decay)*params`` EMA initialised at the random
+    init carries ``decay^t`` of that init — at decay 0.995 still ~29% after
+    250 steps, so early EMA evals report garbage (reference
+    romatch/train/train.py:47-60 has the same flaw; measured in
+    CONVERGENCE_r04: EMA PCK@5 0.09 vs raw 0.70). The ramp makes the first
+    ~10 updates track the raw params almost exactly (d_0 = 0.1) and converges
+    to the configured decay, eliminating the init bias: the init weight after
+    t steps is ``prod min(decay,(s+1)/(s+10))`` — e.g. ~1e-17 at t=250 vs
+    0.29 unramped.
+    """
+    t = jnp.asarray(step, jnp.float32)
+    return jnp.minimum(jnp.asarray(decay, jnp.float32), (1.0 + t) / (10.0 + t))
+
+
+def make_ema_update(decay: float, warmup: bool = True):
+    """Build a jitted EMA update ``(ema, params, step) -> new_ema``.
+
+    ``warmup=True`` (default) applies :func:`ema_decay_schedule`; ``step`` is
+    the 0-based count of EMA updates already applied.
+    """
+
+    def update(ema, params, step):
+        d = ema_decay_schedule(decay, step) if warmup else decay
+        return jax.tree.map(
+            lambda a, b: d * a.astype(jnp.float32) + (1 - d) * b.astype(jnp.float32),
+            ema, params,
+        )
+
+    return jax.jit(update)
+
+
 def make_train_step(
     apply_fn: Callable,
     objective: Callable,
@@ -142,8 +176,10 @@ def train_k_steps(
     """Run the step over an iterable of host batches (reference
     train/train.py:40-64 without the tqdm/wandb coupling).
 
-    ``ema_decay`` maintains ``state.ema_params`` (reference ema_model.update(),
-    train.py:59-60); LR warmup is part of the optax schedule
+    ``ema_decay`` maintains ``state.ema_params`` with the warmup-ramped decay
+    of :func:`ema_decay_schedule` (reference ema_model.update(),
+    train.py:59-60, which is unramped and init-biased — see the schedule's
+    docstring); LR warmup is part of the optax schedule
     (``make_optimizer(warmup_steps=...)`` — the reference's warmup.dampening(),
     train.py:61-63). ``warn_nonfinite=True`` reads back the per-leaf finite
     mask each step and prints offending parameter names (reference
@@ -152,13 +188,13 @@ def train_k_steps(
     ema_update = None
     if ema_decay is not None:
         if state.ema_params is None:
-            state.ema_params = jax.tree.map(lambda p: p, state.params)
-        ema_update = jax.jit(
-            lambda e, p: jax.tree.map(
-                lambda a, b: ema_decay * a + (1 - ema_decay) * b, e, p
+            state.ema_params = jax.tree.map(
+                lambda p: p.astype(jnp.float32), state.params
             )
-        )
+        ema_update = make_ema_update(ema_decay)
     metrics = {}
+    # EMA-update count: resumes (restored state.step) keep the ramp converged
+    ema_t = state.step
     for batch in batches:
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -166,7 +202,8 @@ def train_k_steps(
             state.params, state.batch_stats, state.opt_state, batch
         )
         if ema_update is not None:
-            state.ema_params = ema_update(state.ema_params, state.params)
+            state.ema_params = ema_update(state.ema_params, state.params, ema_t)
+            ema_t += 1
         state.step += 1
         if warn_nonfinite and float(metrics["nonfinite_grads"]) > 0:
             names = nonfinite_grad_names(state.params, metrics["grad_finite_mask"])

@@ -31,11 +31,17 @@ class PerfectModel:
     def match(self, im_A, im_B):
         return self._warp, self._cert
 
-    def sample(self, warp, cert, num):
+    def sample(self, warp, cert, num, key=None):
         w = np.asarray(warp).reshape(-1, 4)
         c = np.asarray(cert).reshape(-1)
         good = np.nonzero(c > 0.5)[0]
-        idx = self._rng.choice(good, size=num, replace=num > len(good))
+        # explicit benchmark-owned key -> deterministic; else stateful stream
+        rng = (
+            np.random.default_rng(int(np.asarray(key)[-1]))
+            if key is not None
+            else self._rng
+        )
+        idx = rng.choice(good, size=num, replace=num > len(good))
         return w[idx], c[idx]
 
     @staticmethod
@@ -102,6 +108,19 @@ def test_perfect_warp_scores_near_perfect_auc(estimator):
     # repeats near-perfect rather than all
     assert summary["map_5"] >= 2 / 3, summary
     assert summary["auc_20"] > 0.6, summary
+
+
+def test_pose_benchmark_reproducible_on_shared_model():
+    """Two consecutive runs over the SAME model object produce identical
+    summaries — the benchmark owns the sampling RNG, not the instance
+    (VERDICT r4 weak 6)."""
+    pair, warp, cert = _synthetic_pair()
+    model = PerfectModel(warp, cert)
+    kw = dict(estimator=native_estimator, repeats=3, sample_n=500,
+              progress=False, seed=11)
+    s1 = run_pose_benchmark(model, [pair], **kw)
+    s2 = run_pose_benchmark(model, [pair], **kw)
+    assert s1 == s2, (s1, s2)
 
 
 def test_load_megadepth_pairs_protocol_rescale(tmp_path):

@@ -223,11 +223,12 @@ def test_train_k_steps_ema_and_stats():
     w_true = np.array([[1.0], [-2.0], [0.5], [3.0]], np.float32)
     batches = [{"x": jnp.asarray(x), "y": jnp.asarray(x @ w_true)} for _ in range(5)]
 
-    # one step: ema must be exactly 0.5*init + 0.5*params_1
+    # one step: warmup-ramped decay d_0 = min(0.5, 1/10) = 0.1, so
+    # ema = 0.1*init + 0.9*params_1 (train.py:ema_decay_schedule)
     state, metrics = train_k_steps(state, batches[:1], step, ema_decay=0.5)
     w1 = np.asarray(state.params["decoder"]["w"])
     e1 = np.asarray(state.ema_params["decoder"]["w"])
-    np.testing.assert_allclose(e1, 0.5 * np.ones_like(w1) + 0.5 * w1, rtol=1e-6)
+    np.testing.assert_allclose(e1, 0.1 * np.ones_like(w1) + 0.9 * w1, rtol=1e-6)
 
     state, metrics = train_k_steps(state, batches[1:], step, ema_decay=0.5)
     assert state.step == 5
@@ -239,3 +240,67 @@ def test_train_k_steps_ema_and_stats():
     w = np.asarray(state.params["decoder"]["w"])
     e = np.asarray(state.ema_params["decoder"]["w"])
     assert not np.allclose(w, e)
+
+
+def test_ema_warmup_kills_init_bias():
+    """The warmup-ramped EMA sheds the random init; the plain EMA does not
+    (VERDICT r4 weak 3 — reference romatch/train/train.py:47-60 is unramped,
+    measured garbage at 250 steps: CONVERGENCE_r04 EMA PCK 0.09 vs raw 0.70)."""
+    from roma_tpu.train.train import ema_decay_schedule, make_ema_update
+
+    decay = 0.995
+    init = {"w": jnp.full((4,), 100.0)}  # far-off random init
+    target = {"w": jnp.ones((4,))}  # params land here immediately
+
+    ramped = make_ema_update(decay, warmup=True)
+    plain = make_ema_update(decay, warmup=False)
+    e_r, e_p = init, init
+    for t in range(250):
+        e_r = ramped(e_r, target, t)
+        e_p = plain(e_p, target, t)
+    # plain EMA still carries decay^250 ~ 28.6% of the 99-unit init offset
+    plain_err = float(np.abs(np.asarray(e_p["w"]) - 1.0).max())
+    ramped_err = float(np.abs(np.asarray(e_r["w"]) - 1.0).max())
+    assert 25.0 < plain_err < 35.0
+    assert ramped_err < 1e-4  # ramp: init weight ~1e-17 by step 250
+
+    # the schedule converges to the configured decay
+    assert float(ema_decay_schedule(decay, 10_000)) == np.float32(decay)
+    # decay -> 0 degenerates to raw params after one update
+    e0 = make_ema_update(0.0)(init, target, 0)
+    np.testing.assert_allclose(np.asarray(e0["w"]), 1.0)
+
+
+def test_ema_eval_beats_raw_after_noisy_convergence():
+    """EMA efficacy: on a noisy-gradient least-squares problem the converged
+    EMA params evaluate at least as well as the raw (jittering) params
+    (VERDICT r4 item 6 'done' condition)."""
+    import optax
+
+    from roma_tpu.train import TrainState, make_train_step, train_k_steps
+
+    def apply_fn(variables, batch):
+        return batch["x"] @ variables["params"]["decoder"]["w"], {}
+
+    def objective(out, batch):
+        return jnp.mean((out - batch["y"]) ** 2), {}
+
+    rs = np.random.RandomState(3)
+    w_true = rs.randn(4, 1).astype(np.float32)
+    params = {"decoder": {"w": jnp.zeros((4, 1))}}
+    opt = optax.sgd(0.12)  # deliberately hot LR -> raw params jitter
+    step = make_train_step(apply_fn, objective, opt)
+    state = TrainState(params=params, batch_stats={}, opt_state=opt.init(params))
+    batches = []
+    for _ in range(400):
+        x = rs.randn(8, 4).astype(np.float32)
+        noise = 0.5 * rs.randn(8, 1).astype(np.float32)
+        batches.append({"x": jnp.asarray(x), "y": jnp.asarray(x @ w_true + noise)})
+    state, _ = train_k_steps(state, batches, step, ema_decay=0.98)
+
+    xe = rs.randn(256, 4).astype(np.float32)
+    err = lambda w: float(np.mean((xe @ np.asarray(w) - xe @ w_true) ** 2))
+    raw = err(state.params["decoder"]["w"])
+    ema = err(state.ema_params["decoder"]["w"])
+    assert ema <= raw * 1.05  # EMA at least matches raw; typically beats it
+    assert ema < 0.05  # and it has genuinely converged (no init bias)
