@@ -1,4 +1,19 @@
-"""Windowed warp sampling — the TPU answer to scattered bilinear lookups.
+"""Windowed warp sampling v1 — GRAVEYARD (documented negative result).
+
+SUPERSEDED by roma_tpu/ops/lane_warp.py (v3). This v1 kernel and the v2
+tile_window.windowed_warp LOST to the plain corner-packed gather because
+their window fetch was itself an XLA gather paying 640-1280 B/query of
+window-area duplication against the packed gather's ~70 B/query (measured
+v5e, 864^2 C=9 bs16: 546-975 ms vs 192 ms). v3 removes the gather from the
+window fetch entirely (lane-packed table, per-tile in-kernel DMA). Kept —
+outside the installed package — as a working, parity-tested record of the
+design space; see graveyard/README.md. The live shared helpers
+(_compact_miss, _query_subblock) moved to roma_tpu/ops/window_util.py, and
+the warp_sample dispatcher moved to roma_tpu/ops/lane_warp.py.
+
+Original design notes below.
+---------------------------------------------------------------------------
+Windowed warp sampling — the TPU answer to scattered bilinear lookups.
 
 ``grid_sample``-semantics warp lookups (matcher.py x_hat fetch, reference
 romatch/models/matcher.py:132) are gather-bound on TPU: XLA's gather engine
@@ -49,7 +64,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .grid_sample import grid_sample
+from roma_tpu.ops.grid_sample import grid_sample
+from roma_tpu.ops.window_util import _compact_miss, _query_subblock
 
 
 @dataclass(frozen=True)
@@ -123,66 +139,6 @@ def _kernel(
         return 0
 
     jax.lax.fori_loop(0, nq, body, 0)
-
-
-def _compact_kernel(miss_ref, tri_ref, o_ref, *, t, kf, qs):
-    """Per-tile compaction of miss flags into ``kf`` slot positions.
-
-    XLA's sized ``nonzero`` costs ~120 ms at these shapes (measured v5e);
-    here the same compaction is two matmuls per query chunk: an inclusive
-    cumsum against a lower-triangular ones matrix (slot assignment), and a
-    slot-one-hot contraction with the query-index vector (slot -> query).
-    Unfilled slots read the sentinel ``t``.
-    """
-    nq = t // qs
-    carry = jnp.zeros((1, 1), jnp.float32)
-    pos = jnp.zeros((kf, 1), jnp.float32)
-    found = jnp.zeros((kf, 1), jnp.float32)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (kf, qs), 0).astype(jnp.float32)
-    for qb in range(nq):
-        m = miss_ref[0, :, pl.ds(qb * qs, qs)].astype(jnp.float32)  # (1, qs)
-        s = jax.lax.dot_general(
-            m, tri_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + carry  # (1, qs) inclusive counts
-        oh = jnp.where((s == ki + 1.0) & (m > 0), 1.0, 0.0)  # (kf, qs)
-        qi = (
-            jax.lax.broadcasted_iota(jnp.int32, (qs, 1), 0) + qb * qs
-        ).astype(jnp.float32)
-        pos = pos + jax.lax.dot_general(
-            oh, qi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        found = found + jnp.sum(oh, axis=1, keepdims=True)
-        carry = carry + jnp.sum(m, axis=1, keepdims=True)
-    o_ref[0] = (pos + (1.0 - found) * t).astype(jnp.int32)
-
-
-def _query_subblock(t: int, cap: int) -> int:
-    """Largest divisor of ``t`` <= cap — the kernels iterate t // qs query
-    sub-blocks and would silently drop a remainder otherwise."""
-    qs = min(t, cap)
-    while t % qs:
-        qs -= 1
-    return qs
-
-
-def _compact_miss(miss, t, kf, interpret=False):
-    """(bnt, 1, T) bool -> (bnt, KF, 1) int32 miss positions (sentinel T)."""
-    bnt = miss.shape[0]
-    qs = _query_subblock(t, 1024)
-    ii = jnp.arange(qs, dtype=jnp.int32)
-    tri = (ii[:, None] >= ii[None, :]).astype(jnp.float32)  # L[q, q'] = q' <= q
-    return pl.pallas_call(
-        functools.partial(_compact_kernel, t=t, kf=kf, qs=qs),
-        grid=(bnt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qs, qs), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, kf, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bnt, kf, 1), jnp.int32),
-        interpret=interpret,
-    )(miss, tri)
 
 
 def _pick_origin(vals, lo_len, win_len, quantum=1):
@@ -398,40 +354,3 @@ def windowed_grid_sample(
     return jax.lax.cond(
         jnp.all(counts <= kf), lambda _: windowed, lean_fallback, operand=None
     )
-
-
-def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
-    """Dispatcher for the matcher's x_hat lookup (matcher.py:213).
-
-    TPU inference at the scale-1 shapes (C <= 16, big maps) routes to the
-    v3 lane-packed windowed kernel (ops/lane_warp.py): channels packed
-    along the lanes, per-tile sequential in-kernel DMA instead of the
-    per-row gather. Everything else — training (needs gradients), wide
-    channels, small maps, CPU — stays on the plain gather.
-
-    History: v1 (this module) and v2 (tile_window.windowed_warp) LOST to
-    the plain gather because their window fetch was itself an XLA gather
-    paying 640-1280 B/query of window-area duplication against the packed
-    gather's ~70 B/query (measured v5e, 864^2 C=9 bs16: 546-975 ms vs
-    192 ms). v3 removes the gather from the window fetch entirely — the
-    (B, Hp/RB, NJ, RB, 128) lane-packed table is DMA-sliced per tile at
-    streaming bandwidth, the regime where window duplication is ~free.
-    ``ROMA_DISABLE_TILE_WINDOW=1`` reverts to the plain gather (shared
-    escape hatch with the windowed local correlation).
-    """
-    from .local_corr import _windowed_disabled
-
-    b, h, w, c = y.shape
-    n = flow.shape[1] * flow.shape[2]
-    if (
-        inference
-        and not _windowed_disabled()
-        and c <= 16
-        and n >= 500_000
-        and y.dtype in (jnp.bfloat16, jnp.float32)
-        and jax.default_backend() == "tpu"
-    ):
-        from .lane_warp import lane_warp
-
-        return lane_warp(y, flow)
-    return grid_sample(y, flow)

@@ -259,7 +259,7 @@ class ConvRefiner(nn.Module):
         # channel-major strip kernels (2.7x on v5e at 864^2). Wider scales
         # stay on XLA's scanned convs — measured faster than a lane-major
         # Pallas variant at every C in {144, 569, 1137, 1377} (see
-        # ops/pallas_refiner.py lane_refiner_stack notes). Same params,
+        # graveyard/pallas_refiner_lanemajor.py notes). Same params,
         # read directly from this module's variable tree; training and init
         # keep the module path (BN batch stats + autodiff).
         use_fused = (

@@ -11,7 +11,7 @@ from .grid_sample import grid_sample
 from .interpolate import interpolate
 from .kde import kde
 from .local_corr import corr_volume, local_correlation
-from .window_warp import warp_sample, windowed_grid_sample
+from .lane_warp import warp_sample
 from .sampling import balanced_sample, multinomial_no_replacement
 
 __all__ = [
@@ -29,7 +29,6 @@ __all__ = [
     "corr_volume",
     "local_correlation",
     "warp_sample",
-    "windowed_grid_sample",
     "balanced_sample",
     "multinomial_no_replacement",
 ]

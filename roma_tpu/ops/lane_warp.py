@@ -6,7 +6,7 @@ collapses further once the packed table leaves the fast regime: measured
 36 ms at 560^2 bs16 but 196 ms at 864^2 and 345 ms at 1344^2 — the
 single biggest line in both production configs.  The v1/v2 windowed
 samplers lost because their window fetch was itself an XLA gather paying
-640-1280 B/query (ops/window_warp.py warp_sample notes).  v3 removes
+640-1280 B/query (graveyard/window_warp_v1.py notes).  v3 removes
 gathers from the whole path:
 
   1. **Channels ride the lanes, rows ride the sublanes.**  The feature
@@ -63,7 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import grid_sample
 from .tile_window import WarpSpec, _exact_taps, _plan
-from .window_warp import _compact_miss
+from .window_util import _compact_miss
 
 
 @dataclass(frozen=True)
@@ -376,3 +376,47 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
 
     out = out.reshape(b, nh, nw, cp, th, tw).transpose(0, 1, 4, 2, 5, 3)
     return out.reshape(b, nh * th, nw * tw, cp)[:, :hq, :wq, :c]
+
+
+def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
+    """Dispatcher for the matcher's x_hat lookup (matcher.py:239).
+
+    TPU inference at the scale-1 upsample shapes (C <= 16, big maps) routes
+    to the v3 lane-packed windowed kernel above: channels packed along the
+    lanes, per-tile sequential in-kernel DMA instead of the per-row gather.
+    Everything else — training (needs gradients), wide channels, small
+    maps, CPU — stays on the plain gather.
+
+    History: v1 (graveyard/window_warp_v1.py) and v2
+    (tile_window.windowed_warp) LOST to the plain gather because their
+    window fetch was itself an XLA gather paying 640-1280 B/query of
+    window-area duplication against the packed gather's ~70 B/query
+    (measured v5e, 864^2 C=9 bs16: 546-975 ms vs 192 ms). v3 removes the
+    gather from the window fetch entirely — the feature map reshapes (no
+    data movement) to a (B, Hp/RB, RB, NJ*128) lane-packed table whose
+    x-origin slices the LANE axis at jx*128, DMA-sliced per tile at
+    streaming bandwidth, the regime where window duplication is ~free.
+
+    The n >= 500_000 threshold deliberately keeps 560^2 coarse queries
+    (313,600) on the plain gather: the packed gather is still in its fast
+    regime there (36 ms at 560^2 bs16 vs 196 ms at 864^2 — the table fits
+    the gather engine's fast path), so the kernel's fixed planning cost
+    buys nothing. The win shows up where the gather collapses: 864^2
+    (1.68x) and 1344^2.
+    ``ROMA_DISABLE_TILE_WINDOW=1`` reverts to the plain gather (shared
+    escape hatch with the windowed local correlation).
+    """
+    from .local_corr import _windowed_disabled
+
+    b, h, w, c = y.shape
+    n = flow.shape[1] * flow.shape[2]
+    if (
+        inference
+        and not _windowed_disabled()
+        and c <= 16
+        and n >= 500_000
+        and y.dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() == "tpu"
+    ):
+        return lane_warp(y, flow)
+    return grid_sample(y, flow)

@@ -1,7 +1,7 @@
 """Windowed tile sampler v2 — production path for the matcher's scale-1
 warp lookups (and the shared planning layer for windowed kernels).
 
-Replaces the staging design in ``ops/window_warp.py`` (kept as the
+Replaces the staging design in ``graveyard/window_warp_v1.py`` (kept as the
 documented v1 experiment). Same idea — a 64x64 query tile's bilinear
 targets cluster in a small window, so the scattered gather becomes dense
 MXU/VPU work on a VMEM-resident window — but four structural changes,
@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import grid_sample
 from .local_corr import _combine_corners
-from .window_warp import _compact_miss, _query_subblock
+from .window_util import _compact_miss, _query_subblock
 
 
 @dataclass(frozen=True)

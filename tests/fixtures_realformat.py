@@ -135,3 +135,109 @@ def make_scannet_fixture(root, scene_id=0, sub_id=0):
         score=np.array([0.5, 0.6, 0.7], np.float32),
     )
     return root
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-loader fixtures (VERDICT r4 item 7): ScanNet-1500 TEST tree and
+# HPatches sequence directories in their real on-disk formats.
+# ---------------------------------------------------------------------------
+
+
+def _y_rotation(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def make_scannet1500_fixture(root):
+    """ScanNet-1500 TEST layout (reference scannet_benchmark.py:16-60):
+
+      <root>/test.npz      keys 'name' (N,4) int32 [scene, sub, stemA, stemB],
+                           'rel_pose' (N,12) float64 (flattened 3x4 T_1to2)
+      <root>/scans_test/scene0<id>_00/color/<stem>.jpg
+      <root>/scans_test/scene0<id>_00/intrinsic/intrinsic_color.txt  (4x4 text)
+
+    Two scenes with different image sizes and focal lengths so the protocol
+    480-short-side rescale differs per scene. Returns ``(root, truth)`` where
+    ``truth[scene_id] = dict(K4, wh, R, t, stems)`` holds the geometry the
+    loader must reproduce.
+    """
+    root = str(root)
+    names, rel_poses, truth = [], [], {}
+    scenes = [
+        # (scene_id, (w, h), focal, (stemA, stemB), rotation angle)
+        (707, (128, 96), 120.0, (10, 20), 0.05),
+        (708, (112, 80), 110.0, (30, 40), -0.04),
+    ]
+    for sid, (w, h), f, stems, ang in scenes:
+        sdir = os.path.join(root, "scans_test", f"scene0{sid}_00")
+        K4 = np.eye(4)
+        K4[0, 0] = K4[1, 1] = f
+        K4[0, 2], K4[1, 2] = w / 2, h / 2
+        os.makedirs(os.path.join(sdir, "intrinsic"), exist_ok=True)
+        np.savetxt(os.path.join(sdir, "intrinsic", "intrinsic_color.txt"), K4,
+                   delimiter=" ")
+        for j, stem in enumerate(stems):
+            _jpeg(os.path.join(sdir, "color", f"{stem}.jpg"), w, h, seed=sid + j)
+        R = _y_rotation(ang)
+        t = np.array([0.3, 0.1, 0.05], np.float64)
+        names.append([sid, 0, stems[0], stems[1]])
+        rel_poses.append(np.concatenate([R, t[:, None]], axis=1).reshape(-1))
+        truth[sid] = dict(K4=K4, wh=(w, h), R=R, t=t, stems=stems)
+    np.savez(
+        os.path.join(root, "test.npz"),
+        name=np.array(names, np.int32),
+        rel_pose=np.stack(rel_poses).astype(np.float64),
+    )
+    return root, truth
+
+
+# One sequence from the LoFTR ignore list (reference hpatches...py:19-30)
+HP_IGNORED_SEQ = "i_dc"
+
+
+def make_hpatches_fixture(root):
+    """HPatches release layout (reference hpatches...py:14-72):
+
+      <root>/hpatches-sequences-release/<seq>/{1..6}.ppm
+      <root>/hpatches-sequences-release/<seq>/H_1_{2..6}   (3x3 text)
+
+    Three sequences: one viewpoint ('v_'), one illumination ('i_'), and
+    'i_dc' from the LoFTR ignore list (must be skipped when the ignore list
+    is applied). H files map image-1 pixel coords in the HPatches [0, n-1]
+    corner convention to image k. Returns ``(dataset_root, truth)`` with
+    ``truth[(seq, idx)] = (H, wh_A, wh_B)``.
+    """
+    root = str(root)
+    seqs_root = os.path.join(root, "hpatches-sequences-release")
+    truth = {}
+    seqs = [
+        ("v_synth", (120, 90)),
+        ("i_synth", (100, 76)),
+        (HP_IGNORED_SEQ, (80, 60)),
+    ]
+    for s_i, (seq, (w, h)) in enumerate(seqs):
+        seq_dir = os.path.join(seqs_root, seq)
+        _ppm(os.path.join(seq_dir, "1.ppm"), w, h, seed=100 + s_i)
+        for idx in range(2, 7):
+            # mild, well-conditioned projective map keeping corners in frame
+            H = np.array(
+                [
+                    [1.0 + 0.01 * idx, 0.02, 1.5 * idx],
+                    [-0.01, 1.0 - 0.008 * idx, -1.0 * idx],
+                    [2e-4, -1e-4, 1.0],
+                ],
+                np.float64,
+            )
+            _ppm(os.path.join(seq_dir, f"{idx}.ppm"), w, h, seed=100 + s_i + idx)
+            np.savetxt(os.path.join(seq_dir, f"H_1_{idx}"), H, delimiter=" ")
+            truth[(seq, idx)] = (H, (w, h), (w, h))
+    return root, truth
+
+
+def _ppm(path, w, h, seed):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)

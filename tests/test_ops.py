@@ -286,7 +286,7 @@ def test_windowed_grid_sample_matches_plain(name, shape, warp_sigma, wild_frac, 
     """Windowed one-hot warp kernel (interpret mode) vs the reference gather
     path — incl. out-of-window fixup and the cond full-fallback."""
     from roma_tpu.ops import grid_sample
-    from roma_tpu.ops.window_warp import WindowSpec, windowed_grid_sample
+    from graveyard.window_warp_v1 import WindowSpec, windowed_grid_sample
 
     rs = np.random.RandomState(0)
     spec = WindowSpec(th=8, tw=8, wh=24, ww=40, xq=8, pm=8, kf=fixup_k)

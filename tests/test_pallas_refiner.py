@@ -79,13 +79,16 @@ def test_packed_cmajor_bitexact_vs_cmajor(c, h, w, nb, cg):
 )
 def test_lane_refiner_stack_matches_reference(c, h, w, nb):
     """The lane-major kernel is not routed by fused_refiner_stack (measured
-    slower than XLA's scanned convs at RoMa's wide-C shapes) — exercise it
-    directly so the documented experiment stays parity-true."""
+    slower than XLA's scanned convs at RoMa's wide-C shapes; relocated to
+    the graveyard) — exercise it directly so the documented experiment
+    stays parity-true."""
+    from graveyard.pallas_refiner_lanemajor import lane_refiner_stack
+
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)
     blocks = _blocks(c, nb)
     ref = pr.refiner_stack_reference(x, blocks)
-    got = pr.lane_refiner_stack(x, blocks, interpret=True)
+    got = lane_refiner_stack(x, blocks, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3
     )
@@ -150,9 +153,9 @@ def test_fold_refiner_tree_matches_module_eval():
     ],
 )
 def test_hcw_refiner_stack_matches_reference(c, h, w, nb):
-    """(B, H, C, W)-layout wide-channel block kernel (pallas_hcw_refiner)
-    vs the folded XLA reference."""
-    from roma_tpu.ops.pallas_hcw_refiner import hcw_refiner_stack
+    """(B, H, C, W)-layout wide-channel block kernel (graveyard negative
+    result) vs the folded XLA reference."""
+    from graveyard.pallas_hcw_refiner import hcw_refiner_stack
 
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.randn(2, h, w, c), jnp.float32)

@@ -19,7 +19,7 @@ from tools.profile_window import timeit
 
 from roma_tpu.models.matcher import RefinerBlock, ScannedRefinerBlocks
 from roma_tpu.ops import pallas_refiner as pr
-from roma_tpu.ops.pallas_hcw_refiner import hcw_refiner_stack
+from graveyard.pallas_hcw_refiner import hcw_refiner_stack
 
 B = 16
 SHAPES = [  # (scale tag, H, C)

@@ -1,5 +1,5 @@
 """Stage-by-stage wall-clock + miss-statistics breakdown of the windowed
-warp sampler (ops/window_warp.py) at the real matcher shapes.
+warp sampler (graveyard/window_warp_v1.py) at the real matcher shapes.
 
 Flows are synthetic but adversarially realistic: smooth base warp +
 foreground discontinuity (different shift) + an out-of-image band (sky /
@@ -68,7 +68,7 @@ def realistic_flow(h, w, b=B, seed=0):
 def miss_stats(h, w, spec, flow):
     """Replicate the prep stages; report per-tile miss counts with and
     without the fully-out-of-image refinement."""
-    import roma_tpu.ops.window_warp as ww
+    import graveyard.window_warp_v1 as ww
 
     b = flow.shape[0]
     n = h * w
@@ -138,7 +138,7 @@ def miss_stats(h, w, spec, flow):
 
 
 def stage_times(h, w, c, spec, flow):
-    import roma_tpu.ops.window_warp as ww
+    import graveyard.window_warp_v1 as ww
     from roma_tpu.ops import grid_sample
 
     x = jnp.asarray(
@@ -226,7 +226,7 @@ def stage_times(h, w, c, spec, flow):
 
 
 def main():
-    from roma_tpu.ops.window_warp import WindowSpec
+    from graveyard.window_warp_v1 import WindowSpec
 
     print(f"backend={jax.default_backend()}")
     shapes = [
