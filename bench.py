@@ -4,11 +4,27 @@ Mirrors the reference timing harness (tests/test_roma_upsample_inference_time.py
 bs8, 560 coarse + 864 upsample, bf16) but measures the full jitted two-pass
 pipeline.
 
-``vs_baseline`` is the ratio to THIS repo's round-1 measurement on the same
-TPU v5e (BENCH_r01.json: 2.901 pairs/sec/chip) — i.e. measured self-progress.
-The reference repo records no wall-clock numbers anywhere (BASELINE.md), and
-no CUDA GPU exists in this environment to measure one, so no GPU ratio is
-claimed.
+Baseline accounting (each JSON line names its baseline in a "baseline" key):
+
+* headline 560->864: ``vs_baseline`` is the ratio to THIS repo's round-1
+  measurement on the same TPU v5e (BENCH_r01.json: 2.901 pairs/sec/chip) —
+  measured self-progress. ``vs_a100_est`` is the ratio to the A100 estimate
+  below.
+* golden 672->1344: ``vs_baseline`` is the ratio to the A100 roofline
+  estimate (no round-1 self-anchor exists for this config).
+
+The reference repo records no wall-clock numbers anywhere (BASELINE.md's
+timing harness rows are value-free) and no CUDA GPU exists in this
+environment, so the A100 number is an ESTIMATE, derived in BASELINE.md §"A100
+estimate": measured per-pair HLO FLOPs F of this exact two-pass pipeline,
+A100 peak 312 TFLOP/s bf16, and an assumed 10-20% MFU band for the
+reference's torch-eager + autocast + xformers implementation (midpoint 15%
+used; dense-matcher torch pipelines with gather-heavy refiners rarely exceed
+20%). pairs/s = 312e12 * 0.15 / F.
+
+Each TPU line also reports achieved HLO TFLOP/s and MFU (fraction of the
+chip's peak bf16 FLOP/s), from XLA's cost analysis of the lowered coarse +
+upsample programs (VERDICT r4 item 2).
 
 Prints the headline metric as the FINAL JSON line (the driver parses the
 tail). On TPU a secondary labeled line for the golden Mega-1500 eval config
@@ -26,6 +42,82 @@ import numpy as np
 
 # measured: this repo, round 1, TPU v5e, 560->864 two-pass symmetric, bs8
 ROUND1_PAIRS_PER_SEC = 2.901
+
+# A100 roofline estimates for the reference implementation (see module
+# docstring + BASELINE.md "A100 estimate" for the derivation; filled from
+# measured per-pair FLOPs at each config).
+A100_PEAK_BF16 = 312e12
+A100_ASSUMED_MFU = 0.15
+
+# TPU peak bf16 FLOP/s by device_kind substring (public spec sheets).
+TPU_PEAKS = (
+    ("v5 lite", 197e12),  # v5e
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v6", 918e12),  # Trillium
+)
+
+
+def tpu_peak_flops():
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for sub, peak in TPU_PEAKS:
+        if sub in kind:
+            return peak
+    return None
+
+
+# Per-pair HLO FLOPs of the two-pass pipeline, measured with
+# tools/measure_flops.py (XLA:CPU HLO cost analysis of the lowered
+# programs; the axon TPU backend returns None from cost_analysis, so the
+# values are pinned here). Re-run that tool after architecture changes.
+MEASURED_FLOPS_PER_PAIR = {
+    (560, 864): 3.930e12,
+    (672, 1344): 8.061e12,
+}
+
+
+def pipeline_flops(model, im_A, im_B, im_A_u, im_B_u, out_hw):
+    """Per-batch HLO FLOPs of the jitted coarse + upsample match programs.
+
+    Uses XLA cost analysis on the *lowered* (pre-optimization) modules —
+    cheap (no backend compile) and a slight overcount vs the fused
+    executable, so derived MFU is, if anything, optimistic by the same
+    small factor on both the TPU measurement and the A100 estimate.
+    Returns None when the active backend exposes no cost analysis (the
+    tunneled axon TPU platform) — callers then fall back to
+    MEASURED_FLOPS_PER_PAIR.
+    """
+    sym = model.symmetric
+    # access via the class: the jitted methods carry self in static argnum 0,
+    # and .lower on the descriptor-bound form would drop it
+    coarse_fn = type(model)._match_coarse
+    up_fn = type(model)._match_upsample
+
+    def _flops(lowered):
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: one dict per device
+            ca = ca[0]
+        if ca is None:
+            raise RuntimeError("backend exposes no HLO cost analysis")
+        return float(ca["flops"])
+
+    low_c = coarse_fn.lower(model, sym, model.variables, im_A, im_B, out_hw)
+    fl = _flops(low_c)
+    if model.upsample_preds:
+        # flow/cert seeds: finest coarse corresps (outputs 3, 4 of the
+        # coarse program) — lower with abstract shapes only
+        o = jax.eval_shape(
+            lambda v, a, b: coarse_fn(model, sym, v, a, b, out_hw),
+            model.variables, im_A, im_B,
+        )
+        low_u = up_fn.lower(model, sym, model.variables, im_A_u, im_B_u, o[3], o[4])
+        fl += _flops(low_u)
+    return fl
 
 
 def smooth_coarse_warp(model):
@@ -105,19 +197,51 @@ def main():
         for _ in range(iters):
             run()
         dt = time.perf_counter() - t0
-        return batch * iters / dt
+        pairs_per_sec = batch * iters / dt
+
+        flops_per_pair = MEASURED_FLOPS_PER_PAIR.get((coarse, up))
+        try:
+            out_hw = model.get_output_resolution()
+            flops_per_pair = (
+                pipeline_flops(model, im_A, im_B, im_A_u, im_B_u, out_hw) / batch
+            )
+        except Exception as e:  # cost analysis is diagnostics, never fatal
+            src = "pinned tools/measure_flops.py value" if flops_per_pair else "none"
+            print(f"# live cost analysis unavailable ({e!r}); flops source: {src}",
+                  flush=True)
+        return pairs_per_sec, flops_per_pair
+
+    def perf_fields(pairs_per_sec, flops_per_pair):
+        """MFU + A100-estimate fields shared by both metric lines."""
+        fields = {}
+        peak = tpu_peak_flops() if on_tpu else None
+        if flops_per_pair is not None:
+            achieved = pairs_per_sec * flops_per_pair
+            fields["hlo_tflops_per_pair"] = round(flops_per_pair / 1e12, 3)
+            fields["achieved_tflops_per_sec"] = round(achieved / 1e12, 2)
+            if peak is not None:
+                fields["mfu"] = round(achieved / peak, 4)
+            a100_est = A100_PEAK_BF16 * A100_ASSUMED_MFU / flops_per_pair
+            fields["a100_est_pairs_per_sec"] = round(a100_est, 3)
+            fields["vs_a100_est"] = round(pairs_per_sec / a100_est, 4)
+        return fields
 
     # secondary labeled metric: the golden Mega-1500 eval config. Printed
     # BEFORE the headline line — the driver parses the tail.
     if on_tpu and os.environ.get("ROMA_BENCH_GOLDEN", "1") != "0":
-        golden = run_config(672, 1344, 4, 5)
+        golden, gflops = run_config(672, 1344, 4, 5)
+        extra = perf_fields(golden, gflops)
         print(
             json.dumps(
                 {
                     "metric": "roma_outdoor_672to1344_bs4_pairs_per_sec_per_chip",
                     "value": round(golden, 4),
                     "unit": "pairs/sec",
-                    "vs_baseline": 0.0,  # no round-1 anchor for this config
+                    # no round-1 self-anchor for this config: the target is
+                    # the A100 roofline estimate (BASELINE.md "A100 estimate")
+                    "vs_baseline": extra.get("vs_a100_est", 0.0),
+                    "baseline": "a100_roofline_est_15pct_mfu",
+                    **extra,
                 }
             ),
             flush=True,
@@ -126,14 +250,16 @@ def main():
     batch = 8 if on_tpu else 1
     coarse, up = (560, 864) if on_tpu else (140, 168)
     iters = 10 if on_tpu else 2
-    pairs_per_sec = run_config(coarse, up, batch, iters)
+    pairs_per_sec, flops_per_pair = run_config(coarse, up, batch, iters)
 
     metric = f"roma_outdoor_{coarse}to{up}_bs{batch}_pairs_per_sec_per_chip"
     vs = round(pairs_per_sec / ROUND1_PAIRS_PER_SEC, 4)
+    baseline = "self_r01_tpu_v5e_2.901_pairs_per_sec"
     if not on_tpu:
         # CPU numbers are not comparable to the TPU round-1 anchor
         metric += "_CPU_FALLBACK"
         vs = 0.0
+        baseline = "none_cpu_fallback"
     print(
         json.dumps(
             {
@@ -141,6 +267,8 @@ def main():
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/sec",
                 "vs_baseline": vs,
+                "baseline": baseline,
+                **perf_fields(pairs_per_sec, flops_per_pair),
             }
         )
     )

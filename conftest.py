@@ -6,7 +6,8 @@
 # backend is not initialized yet, so jax.config.update still takes effect.
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not os.environ.get("ROMA_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # hermetic tests: never attempt weight downloads (zoo/download.py)
 os.environ["ROMA_TPU_OFFLINE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -19,8 +20,14 @@ os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("ROMA_TEST_TPU"):
+    # opt-in hardware run (e.g. the Mosaic compiled-path lane_warp test):
+    # keep the real TPU platform; mesh-shaped tests will fail/skip — run
+    # targeted files only.
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # ---------------------------------------------------------------------------
 # Test tiers: the default run is the fast tier (structural/tiny-config tests,

@@ -184,6 +184,7 @@ def run_pose_benchmark(
     mesh=None,
     seed: int = 0,
     progress: bool = True,
+    return_errors: bool = False,
 ) -> dict[str, float]:
     """Run the full benchmark; ``batch_size``/``mesh`` enable the batched
     (and ICI-sharded) match phase.
@@ -213,4 +214,8 @@ def run_pose_benchmark(
             pixel_offset=pixel_offset, double_final_repeat=double_final_repeat,
             sample_key=jax.random.fold_in(root_key, i),
         )
+    if return_errors:
+        # diagnostics (e.g. tools/crossimpl_auc.py): the pooled per-repeat
+        # max(e_t, e_R) series behind the summary
+        return errors.summary(), list(errors.e_pose)
     return errors.summary()

@@ -98,11 +98,22 @@ class RegressionMatcher:
     # ------------------------------------------------------------------ #
 
     @partial(jax.jit, static_argnums=(0, 1, 5))
-    def _match_coarse(self, symmetric: bool, variables, im_A, im_B, out_hw):
-        """Single-pass match at coarse res -> (flow, certainty, low_res_cert)."""
+    def _match_coarse(
+        self, symmetric: bool, variables, im_A, im_B, out_hw, gm_logit_bias=None
+    ):
+        """Single-pass match at coarse res -> (flow, certainty, low_res_cert).
+
+        ``gm_logit_bias``: the Decoder's diagnostic logit-injection hook
+        (matcher.py Decoder.__call__) threaded through the public match
+        pipeline — used by the cross-implementation AUC equivalence proof
+        (tools/crossimpl_auc.py) to pin a known warp into the coarse
+        classifier. Never set on the production path."""
         hs, ws = im_A.shape[1:3]
         sf = math.sqrt(hs * ws / 560.0**2)
-        corresps = self.net.apply(variables, im_A, im_B, symmetric=symmetric, scale_factor=sf)
+        corresps = self.net.apply(
+            variables, im_A, im_B, symmetric=symmetric, scale_factor=sf,
+            gm_logit_bias=gm_logit_bias,
+        )
         low = interpolate(corresps[16]["certainty"], out_hw, mode="bilinear")
         low = 0.5 * low * (low < 0)
         flow = interpolate(corresps[1]["flow"], out_hw, mode="bilinear")
@@ -162,6 +173,7 @@ class RegressionMatcher:
         im_A_high_res=None,
         im_B_high_res=None,
         batched: bool = True,
+        gm_logit_bias=None,
     ):
         """Dense two-view match -> (warp, certainty).
 
@@ -193,7 +205,7 @@ class RegressionMatcher:
 
         out_hw = self.get_output_resolution()
         flow, cert, low, flow_fine, cert_fine = self._match_coarse(
-            symmetric, self.variables, im_A, im_B, out_hw
+            symmetric, self.variables, im_A, im_B, out_hw, gm_logit_bias
         )
         if not self.attenuate_cert:
             low = jnp.zeros_like(low)

@@ -111,3 +111,30 @@ def test_lane_warp_small_image_falls_back():
     ref = grid_sample(x, flow)
     got = lane_warp(x, flow, spec=SPEC, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_lane_warp_compiled_production_spec_tpu():
+    """Mosaic-COMPILED path with the production (default) LaneSpec on a
+    small-but-legal shape (ADVICE r4 item 1): exercises the scalar-prefetch
+    index_map, packed-i32 unpacking, DMA 128-divisibility and 16-bit slot
+    ids that interpret=True cannot regress. Skipped off-TPU; run with
+
+        ROMA_TEST_TPU=1 python -m pytest tests/test_lane_warp.py -k compiled
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Mosaic compile needs a TPU (set ROMA_TEST_TPU=1 so "
+                    "conftest does not force the CPU platform)")
+    h = w = 256
+    b, c = 2, 9  # the production s1-up regime: bf16, C=9
+    rs = np.random.RandomState(12)
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.bfloat16)
+    for kind in ("smooth", "offimage", "speckle"):
+        flow = _flow(h, w, b, kind, seed=13)
+        ref = grid_sample(x, flow)
+        got = lane_warp(x, flow)  # default spec, compiled
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, err_msg=kind,
+        )
