@@ -22,6 +22,8 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <random>
 #include <vector>
@@ -131,23 +133,27 @@ void svd3(const Mat3& A, Mat3& U, double s[3], Mat3& V) {
     s[c] = std::sqrt(std::max(0.0, w[src]));
     for (int r = 0; r < 3; ++r) V[r][c] = v[r * 3 + src];
   }
-  // U columns = A v / s (Gram-Schmidt fallback for tiny s)
+  // U columns = A v / s for the well-conditioned columns; the LAST column
+  // must be completed by cross product whenever s3 is small RELATIVE to s1:
+  // A v3 = s3 u3 + O(eps * s1 * v-error), so for rank-deficient inputs —
+  // every essential matrix has s3 ~ 0, and u3 is exactly the translation
+  // direction decompose_E extracts — normalizing A v3 amplifies eigenvector
+  // noise into an arbitrary direction. (This was a real bug: RANSAC's BEST
+  // hypotheses fit their inliers almost exactly, making s3 smallest and the
+  // recovered t garbage precisely on the easiest inputs.)
   for (int c = 0; c < 3; ++c) {
     double col[3] = {0, 0, 0};
     for (int r = 0; r < 3; ++r)
       for (int k = 0; k < 3; ++k) col[r] += A[r][k] * V[k][c];
     double n = std::sqrt(col[0] * col[0] + col[1] * col[1] + col[2] * col[2]);
-    if (n < 1e-12) {
-      // complete with cross product of previous columns
-      if (c == 2) {
-        col[0] = U[1][0] * U[2][1] - U[2][0] * U[1][1];
-        col[1] = U[2][0] * U[0][1] - U[0][0] * U[2][1];
-        col[2] = U[0][0] * U[1][1] - U[1][0] * U[0][1];
-        n = std::sqrt(col[0] * col[0] + col[1] * col[1] + col[2] * col[2]);
-      } else {
-        col[c] = 1;
-        n = 1;
-      }
+    if (c == 2 && n < 1e-6 * std::max(s[0], 1e-300)) {
+      col[0] = U[1][0] * U[2][1] - U[2][0] * U[1][1];
+      col[1] = U[2][0] * U[0][1] - U[0][0] * U[2][1];
+      col[2] = U[0][0] * U[1][1] - U[1][0] * U[0][1];
+      n = std::sqrt(col[0] * col[0] + col[1] * col[1] + col[2] * col[2]);
+    } else if (n < 1e-12) {
+      col[c] = 1;
+      n = 1;
     }
     for (int r = 0; r < 3; ++r) U[r][c] = col[r] / n;
   }
@@ -636,13 +642,22 @@ double sampson_signed(const Mat3& E, const double* p1, const double* p2) {
   return num / std::sqrt(std::max(den, 1e-18));
 }
 
-// Levenberg-Marquardt refinement of (R, t) minimizing Sampson distance over
-// the masked correspondences — the poselib-style non-linear polish the
-// 5-point hypothesis lacks (critical on near-planar scenes where the
-// hypothesis family is weakly constrained). Numeric Jacobian over 5 params
-// (3 rotation, 2 translation-direction).
+// Levenberg-Marquardt refinement of (R, t) minimizing a robust (Huber)
+// Sampson cost — the poselib-style non-linear polish the 5-point hypothesis
+// lacks (critical on near-planar scenes where the hypothesis family is
+// weakly constrained). Numeric Jacobian over 5 params (3 rotation, 2
+// translation-direction).
+//
+// ``mask`` may be null: with ``huber_delta`` > 0 the cost runs over ALL
+// correspondences with Huber downweighting past delta. This makes the
+// polished pose a deterministic function of the full match set — refining
+// over the winning hypothesis's own inlier MASK (the original design) left
+// a 0.1-0.7 deg seed wander because near-threshold structured-error matches
+// enter/leave the mask per hypothesis and each subset pulls the plain LSQ
+// optimum differently.
 void refine_pose_sampson(Mat3& R, double t[3], const double* x1,
-                         const double* x2, const uint8_t* mask, int n) {
+                         const double* x2, const uint8_t* mask, int n,
+                         double huber_delta = 0.0) {
   // orthonormal basis perpendicular to t
   auto normalize3 = [](double v[3]) {
     double nn = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
@@ -652,8 +667,28 @@ void refine_pose_sampson(Mat3& R, double t[3], const double* x1,
   normalize3(t);
   std::vector<int> ids;
   for (int i = 0; i < n; ++i)
-    if (mask[i]) ids.push_back(i);
+    if (!mask || mask[i]) ids.push_back(i);
   if (ids.size() < 6) return;
+  // Tukey biweight rho and its IRLS weight; delta <= 0 degrades to plain
+  // LSQ. A REDESCENDING loss is required here, not Huber: gross outliers
+  // (border-pinned / occluded matches can be 20%+ of dense-match samples)
+  // keep a constant per-point influence under Huber and collectively bias
+  // the polish by degrees; Tukey zeroes them out entirely.
+  const double c_tuk = huber_delta;
+  auto rho = [&](double r) {
+    if (c_tuk <= 0) return 0.5 * r * r;
+    double q = (r / c_tuk) * (r / c_tuk);
+    if (q >= 1.0) return c_tuk * c_tuk / 6.0;
+    double u = 1.0 - q;
+    return c_tuk * c_tuk / 6.0 * (1.0 - u * u * u);
+  };
+  auto wgt = [&](double r) {
+    if (c_tuk <= 0) return 1.0;
+    double q = (r / c_tuk) * (r / c_tuk);
+    if (q >= 1.0) return 0.0;
+    double u = 1.0 - q;
+    return u * u;
+  };
 
   auto build_E = [&](const double delta[5], Mat3& E_out, Mat3& R_new,
                      double t_new[3]) {
@@ -685,13 +720,13 @@ void refine_pose_sampson(Mat3& R, double t[3], const double* x1,
     double c = 0;
     for (int i : ids) {
       double r = sampson_signed(E, x1 + 2 * i, x2 + 2 * i);
-      c += r * r;
+      c += rho(r);
     }
     return c;
   };
   double cost = cost_of(E0);
 
-  for (int it = 0; it < 20; ++it) {
+  for (int it = 0; it < 50; ++it) {
     // numeric Jacobian
     const double eps = 1e-7;
     std::vector<double> J(ids.size() * 5), r0(ids.size());
@@ -711,12 +746,14 @@ void refine_pose_sampson(Mat3& R, double t[3], const double* x1,
         J[k * 5 + p] = (rp - rm) / (2 * eps);
       }
     }
-    // normal equations (5x5)
+    // normal equations (5x5), IRLS-weighted for the Huber cost
     double A[25] = {0}, g[5] = {0};
     for (size_t k = 0; k < ids.size(); ++k) {
+      double w = wgt(r0[k]);
       for (int p = 0; p < 5; ++p) {
-        g[p] += J[k * 5 + p] * r0[k];
-        for (int q = 0; q < 5; ++q) A[p * 5 + q] += J[k * 5 + p] * J[k * 5 + q];
+        g[p] += w * J[k * 5 + p] * r0[k];
+        for (int q = 0; q < 5; ++q)
+          A[p * 5 + q] += w * J[k * 5 + p] * J[k * 5 + q];
       }
     }
     bool improved = false;
@@ -846,6 +883,7 @@ int estimate_relative_pose(const double* x1, const double* x2, int n,
                            double threshold, int max_iters, uint64_t seed,
                            double* R_out, double* t_out, uint8_t* inliers_out) {
   if (n < 5) return 0;
+  const bool dbg = std::getenv("ROMA_RANSAC_DEBUG") != nullptr;
   std::mt19937_64 rng(seed);
   std::uniform_int_distribution<int> uni(0, n - 1);
   double thr_sq = threshold * threshold;
@@ -890,8 +928,24 @@ int estimate_relative_pose(const double* x1, const double* x2, int n,
                                 }),
                  ties.end());
     }
-    if (cnt + margin() >= best_inl && ties.size() < 32)
-      ties.push_back({E, cnt, score});
+    if (cnt + margin() >= best_inl) {
+      if (ties.size() < 32) {
+        ties.push_back({E, cnt, score});
+      } else {
+        // retention list full: keep the 32 STRONGEST hypotheses by evicting
+        // the weakest. Dropping the newcomer instead (the original policy)
+        // could exclude the eventual best-inlier hypothesis from pose
+        // recovery entirely — the final (R, t) then came from a stale
+        // within-margin wrong-basin member, producing rare multi-degree
+        // pose flyers on otherwise easy inputs.
+        auto worst = std::min_element(
+            ties.begin(), ties.end(), [](const Hyp& a, const Hyp& b) {
+              return a.cnt < b.cnt || (a.cnt == b.cnt && a.score > b.score);
+            });
+        if (cnt > worst->cnt || (cnt == worst->cnt && score < worst->score))
+          *worst = {E, cnt, score};
+      }
+    }
     return improved;
   };
 
@@ -910,6 +964,8 @@ int estimate_relative_pose(const double* x1, const double* x2, int n,
     int n_cand = five_point(x1, x2, idx, cands);
     for (int c = 0; c < n_cand; ++c) {
       if (consider(cands[c])) {
+        if (dbg)
+          std::fprintf(stderr, "[ransac] it=%d best_inl=%d\n", it, best_inl);
         // adaptive termination (guard the double->int cast vs overflow)
         double w = std::max(1e-9, double(best_inl) / n);
         double denom = std::log(std::max(1e-12, 1 - std::pow(w, 5.0)));
@@ -920,6 +976,9 @@ int estimate_relative_pose(const double* x1, const double* x2, int n,
       }
     }
   }
+  if (dbg)
+    std::fprintf(stderr, "[ransac] done: iters=%d best_inl=%d ties=%zu\n",
+                 iters, best_inl, ties.size());
   if (best_inl < 5 || ties.empty()) return 0;
 
   // local optimization: re-run the minimal solver on random inlier 5-subsets
@@ -968,6 +1027,10 @@ int estimate_relative_pose(const double* x1, const double* x2, int n,
     for (int r = 0; r < 2; ++r) {
       for (int s = 0; s < 2; ++s) {
         int good = count_cheiral(Rs[r], ts[s], x1, x2, hyp_mask.data(), n);
+        if (dbg)
+          std::fprintf(stderr,
+                       "[ransac] hyp cnt=%d score=%.3e r=%d s=%d good=%d\n",
+                       h.cnt, h.score, r, s, good);
         bool better =
             good > best_good ||
             (good == best_good &&
@@ -989,14 +1052,54 @@ int estimate_relative_pose(const double* x1, const double* x2, int n,
 
   // non-linear polish: LM on (R, t) minimizing Sampson over inliers, then a
   // final re-count (poselib-style refinement)
-  refine_pose_sampson(R_best, t_best, x1, x2, best_mask.data(), n);
+  if (dbg) {
+    Mat3 E_pre = matmul(skew3(t_best), R_best);
+    int cnt_pre = 0;
+    double cost_pre = 0;
+    for (int i = 0; i < n; ++i) {
+      double d = sampson_sq(E_pre, x1 + 2 * i, x2 + 2 * i);
+      if (best_mask[i]) cost_pre += d;
+      cnt_pre += d < thr_sq;
+    }
+    std::fprintf(stderr, "[ransac] pre-refine: cnt=%d cost=%.6e\n", cnt_pre,
+                 cost_pre);
+  }
+  Mat3 R_pre = R_best;
+  double t_pre[3] = {t_best[0], t_best[1], t_best[2]};
+  // robust polish over ALL correspondences (Tukey, c = 2x the inlier
+  // threshold): deterministic in the data, independent of the winning
+  // hypothesis's inlier mask
+  refine_pose_sampson(R_best, t_best, x1, x2, nullptr, n, 2.0 * threshold);
   Mat3 E_ref = matmul(skew3(t_best), R_best);
   int cnt_ref = 0;
   for (int i = 0; i < n; ++i) {
-    best_mask[i] = sampson_sq(E_ref, x1 + 2 * i, x2 + 2 * i) < thr_sq;
-    cnt_ref += best_mask[i];
+    inl[i] = sampson_sq(E_ref, x1 + 2 * i, x2 + 2 * i) < thr_sq;
+    cnt_ref += inl[i];
   }
-  if (cnt_ref > best_inl) best_inl = cnt_ref;
+  // guard: a polish that LOSES consensus is a polish gone wrong (LM on a
+  // fixed inlier set can drift when that set was mis-scoped) — keep the
+  // pre-refinement pose and its mask instead of silently returning worse
+  int cnt_pre = 0;
+  Mat3 E_pre = matmul(skew3(t_pre), R_pre);
+  std::vector<uint8_t> mask_pre(n);
+  for (int i = 0; i < n; ++i) {
+    mask_pre[i] = sampson_sq(E_pre, x1 + 2 * i, x2 + 2 * i) < thr_sq;
+    cnt_pre += mask_pre[i];
+  }
+  if (dbg)
+    std::fprintf(stderr, "[ransac] refine: cnt %d -> %d\n", cnt_pre, cnt_ref);
+  // revert only on CATASTROPHIC consensus loss (divergence insurance): the
+  // robust fixpoint legitimately trades a few boundary inliers for a much
+  // better pose, so an exact cnt comparison would keep unpolished poses
+  if (cnt_ref + std::max(5, cnt_pre / 20) >= cnt_pre) {
+    best_mask.assign(inl.begin(), inl.end());
+    if (cnt_ref > best_inl) best_inl = cnt_ref;
+  } else {
+    R_best = R_pre;
+    std::memcpy(t_best, t_pre, sizeof(t_pre));
+    best_mask = mask_pre;
+    if (cnt_pre > best_inl) best_inl = cnt_pre;
+  }
 
   std::memcpy(R_out, R_best.m, 9 * sizeof(double));
   std::memcpy(t_out, t_best, 3 * sizeof(double));
