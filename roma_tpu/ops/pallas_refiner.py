@@ -438,13 +438,25 @@ def fused_refiner_stack(
     # s_rows=40 fills the 16 MB VMEM scope for bf16 at the 864-wide strips
     # it was tuned on; wider maps (1344 eval config -> WP=1408) scale the
     # strip rows down to stay inside the scope, f32 halves again.
-    g = 3
     wp = _round_up(x.shape[2] + 2, 128)
+    # v5e sweep (9-block C=24 stack, bs16@864 / bs8@1344, probe_s1up_v2):
+    #   864:  g3/s28 109.8 ms, g2/s40 110.3, g3/s40 124.4 (old default),
+    #         g3/s16 156.1
+    #   1344: g2/s16 140.7 ms, g3/s12 165.5, g3/s16 194.3 (old default)
+    # Wide maps want SHALLOWER chunks: the halo redundancy factor
+    # (s + 4g)/s is paid on every one of wp lanes, so at 1408 lanes the
+    # extra HBM round-trip of g=2 (5 chunks vs 3) costs less than g=3's
+    # deeper halos at the rows that still fit VMEM.
+    g = 3 if wp <= 1024 else 2
     # the pw stage's f32 strip copies scale with wp while the halo rows
     # don't, so the row budget shrinks faster than 1/wp. Empirical anchors
-    # (measured OOMs on v5e): bf16 s=40 fits at wp=896 but s=25 does NOT
-    # fit at wp=1408; f32 s=20 does NOT fit at wp=896.
-    base = 40 if x.dtype.itemsize <= 2 else 10
+    # (measured OOMs on v5e): bf16 g3 s=40 fits at wp=896 (but s=28 is
+    # faster), s=48 does NOT; bf16 g2 s=16 fits at wp=1408; f32 s=20 does
+    # NOT fit at wp=896.
+    if x.dtype.itemsize <= 2:
+        base = 28 if g == 3 else 40
+    else:
+        base = 10
     # No 8-row floor: the quadratic budget model must govern — at f32
     # wp=1408 it allows only ~4 rows and forcing 8 would re-risk the OOM
     # this logic exists to prevent (tiny strips just pay more halo
