@@ -1,4 +1,4 @@
-"""Lane-packed windowed warp sampler (v3) — the scale-1 x_hat lookup.
+"""Lane-packed windowed warp sampler (v3) — the fine-scale x_hat lookups.
 
 The plain corner-packed gather (ops/grid_sample.py) is byte-lean (~70
 B/query at C=9 bf16) but runs at XLA:TPU's per-row gather ceiling, and
@@ -10,10 +10,14 @@ samplers lost because their window fetch was itself an XLA gather paying
 gathers from the whole path:
 
   1. **Channels ride the lanes, rows ride the sublanes.**  The feature
-     map (C <= 16; scale 1 has proj_out = 9) pads to CP = 128/XQ
-     channels and reshapes — a FREE row-major reshape, no transpose —
-     to ``(B, Hp/RB, RB, NJ*128)``: trailing dims (RB, 128-multiple)
-     are exactly native tiles.
+     map pads to CP = 128/XQ channels and reshapes — a FREE row-major
+     reshape, no transpose — to ``(B, Hp/RB, RB, NJ*128)``: trailing
+     dims (RB, 128-multiple) are exactly native tiles.  XQ sets the
+     channel budget per spec: the default (xq=8, cp=16) serves the
+     scale-1 maps (proj_out = 9); ``_WIDE_C_SPEC`` (xq=2, cp=64)
+     serves the scale-2 upsample x_hat (C=64), where the plain gather
+     reads 512 B/query and collapses (92 ms at 672^2 bs8 on v5e vs
+     52 ms windowed; tools/probe_lane_c64.py).
   2. **Per-tile in-kernel DMA**, double-buffered, origins scalar-
      prefetched.  The y-origin slices a *leading* dim (row-blocks); the
      x-origin slices the *lane* dim at ``jx * 128`` — the multiply
@@ -77,6 +81,7 @@ class LaneSpec:
     kf: int = 16       # fixup slots per needs-fix tile
     ntfix_div: int = 8  # fixup tile slots = max(64, bnt // ntfix_div)
     nt_bad: int = 64   # over-budget tiles recomputed exactly (fixed)
+    nbuf: int = 2      # window DMA pipeline depth (double-buffer default)
 
     @property
     def t(self) -> int:
@@ -114,7 +119,8 @@ def _lane_kernel(
     nrb = wh // rb
     nsl = ns * 128
     f32 = jnp.float32
-    slot = jax.lax.rem(i, 2)
+    nbuf = spec.nbuf
+    slot = jax.lax.rem(i, nbuf)
 
     # y slices a leading dim; x slices the lanes at jx*128 — multiplied
     # HERE so Mosaic can prove the 128-divisibility of the lane offset.
@@ -122,27 +128,38 @@ def _lane_kernel(
     # overflowed the 1 MB SMEM at 1344^2 (112k tiles = 4 x 444 KB); the
     # image index is i // nt (arithmetic, no array at all) and
     # slot/oyb/jx unpack with shift+mask (masking makes the arithmetic
-    # shift sign-safe).
+    # shift sign-safe). Layout slot:16 | oyb:7 | jx:9 — jx needs 9 bits
+    # once xq drops to 2 px for the wide-channel specs (672-px maps give
+    # njq ~ 352); oyb at 7 bits still covers ~2000-px-tall images at
+    # rb=16 (the lane_warp width guards keep both in range).
     def start(ti, sl):
         pk = pk_s[ti]
         pltpu.make_async_copy(
             tab_ref.at[
                 ti // nt,
-                pl.ds((pk >> 8) & 0xFF, nrb),
+                pl.ds((pk >> 9) & 0x7F, nrb),
                 :,
-                pl.ds((pk & 0xFF) * 128, nsl),
+                pl.ds((pk & 0x1FF) * 128, nsl),
             ],
             win.at[sl],
             sems.at[sl],
         ).start()
 
+    # nbuf-deep pipeline: step i waits on its own slot while the next
+    # nbuf-1 windows stream (the per-tile wall at 16^2 tiles is DMA
+    # latency, not bandwidth or MXU — see tools/probe_lane_c64.py)
     @pl.when(i == 0)
     def _():
-        start(i, slot)
+        start(0, 0)
 
-    @pl.when(i + 1 < n)
+    for k in range(1, nbuf - 1):
+        @pl.when((i == 0) & (n > k))
+        def _(k=k):
+            start(k, k)
+
+    @pl.when(i + (nbuf - 1) < n)
     def _():
-        start(i + 1, 1 - slot)
+        start(i + nbuf - 1, jax.lax.rem(i + nbuf - 1, nbuf))
 
     pltpu.make_async_copy(
         tab_ref.at[0, pl.ds(0, nrb), :, pl.ds(0, nsl)], win.at[slot], sems.at[slot]
@@ -156,25 +173,25 @@ def _lane_kernel(
 
     wv = win[slot].reshape(wh, nsl)      # (NRB, RB, NSL): leading merge
 
-    # both y-corner 0/1 selectors in ONE dot per segment: (WH, 2T)
+    # both y-corner 0/1 selectors in ONE dot over the WHOLE window:
+    # (WH, NSL)^T @ (WH, 2T). A per-segment loop did M=128 dots; the
+    # fused dot (M = ns*128) is the same FLOPs at real MXU occupancy —
+    # it matters for the wide specs (ns 12-24), where the segment loop's
+    # tiny dots dominated (v5e sweeps in tools/probe_lane_c64.py).
     ri = jax.lax.broadcasted_iota(jnp.int32, (wh, t), 0)
     myc = jnp.concatenate(
         [(ri == yl).astype(wv.dtype), (ri == yl + 1).astype(wv.dtype)], axis=1
     )
-
-    acc = jnp.zeros((cp, t), f32)
-    for s in range(ns):
-        w_s = wv[:, s * 128 : (s + 1) * 128]
-        r = jax.lax.dot_general(
-            w_s, myc, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        )  # (128, 2T)
-        tm = r[:, :t] * (1.0 - fy) + r[:, t:] * fy
-        tm3 = tm.reshape(xq, cp, t)      # leading split only
-        ci = jax.lax.broadcasted_iota(jnp.int32, (xq, t), 0) + s * xq
-        sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
-            ci == xl + 1, fx, 0.0
-        )
-        acc = acc + jnp.sum(tm3 * sx[:, None, :], axis=0)
+    r = jax.lax.dot_general(
+        wv, myc, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (NSL, 2T)
+    tm = r[:, :t] * (1.0 - fy) + r[:, t:] * fy      # (NSL, T)
+    tm3 = tm.reshape(ns * xq, cp, t)                # leading split only
+    ci = jax.lax.broadcasted_iota(jnp.int32, (ns * xq, t), 0)
+    sx = jnp.where(ci == xl, 1.0 - fx, 0.0) + jnp.where(
+        ci == xl + 1, fx, 0.0
+    )
+    acc = jnp.sum(tm3 * sx[:, None, :], axis=0)
 
     ok = (yl >= 0) & (yl <= wh - 2) & (xl >= 0) & (xl <= spec.ww - 2)
     o_ref[0] = (jnp.where(ok, acc, 0.0) + fix_ref[0]).astype(o_ref.dtype)
@@ -205,10 +222,10 @@ def lane_warp(
     wpx = -(-(w + 2 * pm) // xq) * xq
     if hp < wh or wpx < ww + xq:
         return grid_sample(x, flow)   # image smaller than a window
-    # packed-scalar width limits (slot:16 | oyb:8 | jx:8 in one i32):
-    # row-block origins need <= 8 bits (images up to ~4000 px at rb=16),
-    # x segment origins <= 8 bits (~2000 px wide)
-    if (-(-hp // rb)) - wh // rb > 0xFF or wpx // xq - ns > 0xFF:
+    # packed-scalar width limits (slot:16 | oyb:7 | jx:9 in one i32):
+    # row-block origins need <= 7 bits (images up to ~2000 px at rb=16),
+    # x segment origins <= 9 bits (~4000 px wide at xq=8, ~1000 at xq=2)
+    if (-(-hp // rb)) - wh // rb > 0x7F or wpx // xq - ns > 0x1FF:
         return grid_sample(x, flow)
 
     # planning shared with the v2 sampler (identical field meanings;
@@ -312,11 +329,11 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
         axis=1,
     )
 
-    # one packed i32 per tile (slot:16 | oyb:8 | jx:8) — the width guards
+    # one packed i32 per tile (slot:16 | oyb:7 | jx:9) — the width guards
     # are static in lane_warp, so the pack never truncates
     packed = (
         (slotmap.astype(jnp.int32) << 16)
-        | ((p["oy"].reshape(bnt) // rb).astype(jnp.int32) << 8)
+        | ((p["oy"].reshape(bnt) // rb).astype(jnp.int32) << 9)
         | p["jx"].reshape(bnt).astype(jnp.int32)
     )
 
@@ -338,8 +355,8 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
             (1, cp, t), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, wh // rb, rb, ns * 128), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((spec.nbuf, wh // rb, rb, ns * 128), x.dtype),
+            pltpu.SemaphoreType.DMA((spec.nbuf,)),
         ],
     )
     out = pl.pallas_call(
@@ -378,6 +395,14 @@ def _lane_warp_compute(x, flow, spec, rb, p, counts, ntfix, interpret):
     return out.reshape(b, nh * th, nw * tw, cp)[:, :hq, :wq, :c]
 
 
+# Wide-channel (16 < C <= 64) production spec: 2 px per 128-lane unit,
+# ww = 32 px / wh = 48 rows — a 16^2 query-tile footprint plus the 2 px
+# x-origin quantum, bilinear halo, and smooth-warp jitter.  v5e sweep
+# (tools/probe_lane_c64.py, 672^2 B=8 C=64): 51.5 ms vs 90.5 plain;
+# nbuf>2 and 32^2/16x32 tiles were all slower.
+_WIDE_C_SPEC = LaneSpec(xq=2, ns=16, wh=48)
+
+
 def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
     """Dispatcher for the matcher's x_hat lookup (matcher.py:239).
 
@@ -413,10 +438,19 @@ def warp_sample(y: jnp.ndarray, flow: jnp.ndarray, inference: bool = True):
     if (
         inference
         and not _windowed_disabled()
-        and c <= 16
-        and n >= 500_000
         and y.dtype in (jnp.bfloat16, jnp.float32)
         and jax.default_backend() == "tpu"
     ):
-        return lane_warp(y, flow)
+        if c <= 16 and n >= 500_000:
+            return lane_warp(y, flow)
+        if 16 < c <= 64 and h * w >= 400_000:
+            # wide-channel variant: xq=2 px per 128-lane unit (cp=64).
+            # The kernel's cost is ~3.7 us/tile regardless of map size,
+            # while the plain gather's per-query cost GROWS with the
+            # map's HBM footprint — so the crossover is on map area, not
+            # total bytes: at 672^2 (golden 1344 config s2-up) lane wins
+            # 51.5 vs 90.5 ms; at 432^2 (864 config) plain already runs
+            # at its fast rate (43.5 ms) and lane only ties (v5e sweep,
+            # tools/probe_lane_c64.py).
+            return lane_warp(y, flow, spec=_WIDE_C_SPEC)
     return grid_sample(y, flow)

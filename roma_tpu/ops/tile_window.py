@@ -248,7 +248,12 @@ def _plan(flow, h, w, spec, radius: int = 0, oy_quant: int = 1):
     xpc = jnp.clip(x0t + pm, 0, wpx - 1).astype(jnp.float32)
     oy = jnp.round(jnp.mean(ypc, axis=-1) - wh / 2).astype(jnp.int32)
     if oy_quant > 1:
-        oy = (oy // oy_quant) * oy_quant
+        # nearest multiple, not floor: floor-quantization eats up to
+        # oy_quant-1 of the window's bottom slack (at rb=16/wh=48 that
+        # pushed ~1/3 of smooth-warp tiles into the miss fallback —
+        # measured v5e, 672^2 C=64); nearest halves the worst case.
+        # Correctness is origin-independent (miss fixups + fallback).
+        oy = ((oy + oy_quant // 2) // oy_quant) * oy_quant
     oy = jnp.clip(oy, 0, ((hp - wh) // oy_quant) * oy_quant)
     jx = jnp.clip(
         jnp.round((jnp.mean(xpc, axis=-1) - ww / 2) / xq).astype(jnp.int32),

@@ -138,3 +138,59 @@ def test_lane_warp_compiled_production_spec_tpu():
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=2e-2, err_msg=kind,
         )
+
+
+WIDE_SPEC = LaneSpec(th=8, tw=8, wh=16, xq=2, ns=8, pm=8, kf=8, nt_bad=4)
+
+
+@pytest.mark.parametrize("kind", ["smooth", "offimage", "speckle", "wild"])
+def test_lane_warp_wide_channels(kind):
+    """xq=2 wide-channel packing (cp=64): the s2-upsample x_hat regime."""
+    h = w = 40
+    b, c = 2, 64
+    rs = np.random.RandomState(14)
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    flow = _flow(h, w, b, kind, seed=15)
+    ref = grid_sample(x, flow)
+    got = lane_warp(x, flow, spec=WIDE_SPEC, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_lane_warp_wide_channels_partial_pad():
+    """33 <= C < 64 pads to cp=64 and slices back."""
+    h = w = 40
+    b, c = 1, 40
+    rs = np.random.RandomState(16)
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    flow = _flow(h, w, b, "smooth", seed=17)
+    ref = grid_sample(x, flow)
+    got = lane_warp(x, flow, spec=WIDE_SPEC, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_lane_warp_compiled_wide_spec_tpu():
+    """Mosaic-compiled wide-channel production spec (_WIDE_C_SPEC) on a
+    small-but-legal shape. Skipped off-TPU."""
+    import jax
+
+    from roma_tpu.ops.lane_warp import _WIDE_C_SPEC
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Mosaic compile needs a TPU (set ROMA_TEST_TPU=1 so "
+                    "conftest does not force the CPU platform)")
+    h = w = 256
+    b, c = 2, 64  # the production s2-up regime: bf16, C=64
+    rs = np.random.RandomState(18)
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.bfloat16)
+    for kind in ("smooth", "offimage", "speckle"):
+        flow = _flow(h, w, b, kind, seed=19)
+        ref = grid_sample(x, flow)
+        got = lane_warp(x, flow, spec=_WIDE_C_SPEC)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, err_msg=kind,
+        )
